@@ -1,0 +1,216 @@
+"""Golden symbol-domain DSP: QAM, pilots/preamble, OFDM modulate/demodulate,
+channel estimation, one-tap EQ, common-phase tracking.
+
+NumPy float64/complex128 reference for SURVEY.md §2.1 #6-#15 (reference-class
+system keeps these as C++ loops over FFTW buffers; mount empty, §0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.spec import WaveformSpec, MOD_BITS
+from .bits import lfsr_sequence, pilot_polarity
+
+# ------------------------------------------------------------------- QAM
+
+# Per-axis Gray-coded amplitude LUTs, indexed by the integer formed from the
+# axis bits (MSB first). Adjacent amplitudes differ in exactly one bit.
+_AXIS_LUT = {
+    1: np.array([-1.0, 1.0]),
+    2: np.array([-3.0, -1.0, 3.0, 1.0]),
+    3: np.array([-7.0, -5.0, -1.0, -3.0, 7.0, 5.0, 1.0, 3.0]),
+}
+
+
+def _axis_bits(mod: str) -> int:
+    b = MOD_BITS[mod]
+    return max(b // 2, 1)
+
+
+def qam_scale(mod: str) -> float:
+    """Normalization so constellation has unit average power."""
+    nb = _axis_bits(mod)
+    lut = _AXIS_LUT[nb]
+    axes = 1 if mod == "bpsk" else 2
+    return 1.0 / np.sqrt(axes * np.mean(lut**2))
+
+
+def qam_map(bits: np.ndarray, mod: str) -> np.ndarray:
+    """bits [n*bits_per_qam] -> complex symbols [n], Gray-coded, unit power.
+
+    Bit order per symbol: first half of the bits select the I amplitude
+    (MSB first), second half the Q amplitude. BPSK uses I only.
+    """
+    bpq = MOD_BITS[mod]
+    nb = _axis_bits(mod)
+    lut = _AXIS_LUT[nb] * qam_scale(mod)
+    b = bits.reshape(-1, bpq).astype(np.int64)
+    weights = 1 << np.arange(nb - 1, -1, -1)
+    i_idx = b[:, :nb] @ weights
+    if mod == "bpsk":
+        return lut[i_idx].astype(np.complex128)
+    q_idx = b[:, nb:] @ weights
+    return lut[i_idx] + 1j * lut[q_idx]
+
+
+def qam_demap_hard(syms: np.ndarray, mod: str) -> np.ndarray:
+    """Nearest-point hard decisions -> bits [n*bits_per_qam]."""
+    nb = _axis_bits(mod)
+    lut = _AXIS_LUT[nb] * qam_scale(mod)
+    def axis_bits_of(x):
+        idx = np.argmin(np.abs(x[:, None] - lut[None, :]), axis=1)
+        return ((idx[:, None] >> np.arange(nb - 1, -1, -1)) & 1).astype(np.uint8)
+    i_bits = axis_bits_of(np.real(syms).ravel())
+    if mod == "bpsk":
+        return i_bits.reshape(-1)
+    q_bits = axis_bits_of(np.imag(syms).ravel())
+    return np.concatenate([i_bits, q_bits], axis=1).reshape(-1)
+
+
+def qam_demap_llr(syms: np.ndarray, mod: str, csi: np.ndarray | None = None) -> np.ndarray:
+    """Max-log LLRs, llr = log P(b=0)/P(b=1) (positive favours 0).
+
+    Separable per axis for Gray square QAM: for each axis bit,
+    llr = min_{levels: bit=1} (x-l)^2 - min_{levels: bit=0} (x-l)^2.
+    `csi` (e.g. |H|^2 after one-tap EQ) scales per-symbol reliability.
+    Output ordering matches qam_map (I bits then Q bits per symbol).
+    """
+    nb = _axis_bits(mod)
+    lut = _AXIS_LUT[nb] * qam_scale(mod)
+    bit_of_level = ((np.arange(len(lut))[:, None] >> np.arange(nb - 1, -1, -1)) & 1)  # [L, nb]
+
+    def axis_llr(x):  # x: [n]
+        d2 = (x[:, None] - lut[None, :]) ** 2                    # [n, L]
+        llrs = np.empty((len(x), nb))
+        for i in range(nb):
+            m0 = np.min(np.where(bit_of_level[None, :, i] == 0, d2, np.inf), axis=1)
+            m1 = np.min(np.where(bit_of_level[None, :, i] == 1, d2, np.inf), axis=1)
+            llrs[:, i] = m1 - m0
+        return llrs
+
+    flat = syms.ravel()
+    i_llr = axis_llr(np.real(flat))
+    if mod == "bpsk":
+        out = i_llr
+    else:
+        q_llr = axis_llr(np.imag(flat))
+        out = np.concatenate([i_llr, q_llr], axis=1)
+    if csi is not None:
+        out = out * csi.ravel()[:, None]
+    return out.reshape(-1)
+
+
+# ------------------------------------------------------------ preamble / frame
+
+PREAMBLE_SEED_A = 0x2B
+PREAMBLE_SEED_B = 0x4E
+
+
+def _pn_qpsk(n: int, seed: int) -> np.ndarray:
+    """Deterministic unit-power QPSK PN sequence from the LFSR."""
+    bits = lfsr_sequence(2 * n, seed).astype(np.float64)
+    return ((1 - 2 * bits[0::2]) + 1j * (1 - 2 * bits[1::2])) / np.sqrt(2.0)
+
+
+def preamble_freq(spec: WaveformSpec) -> tuple[np.ndarray, np.ndarray]:
+    """Frequency-domain preamble symbols (full n_sc grids, FFT bin order).
+
+    Sym A (Schmidl-Cox): PN on occupied bins with EVEN FFT index only,
+    scaled by sqrt(2) — its time signal has two identical halves of length
+    n_sc/2, which is what the S&C metric detects (SURVEY.md §2.1 #9, [P:6]).
+    Sym B: PN on all occupied bins — known symbol for LS channel estimation
+    and integer-CFO resolution.
+    """
+    occ = spec.occupied_bins
+    pn_a = _pn_qpsk(len(occ), PREAMBLE_SEED_A)
+    pn_b = _pn_qpsk(len(occ), PREAMBLE_SEED_B)
+    sym_a = np.zeros(spec.n_sc, dtype=np.complex128)
+    even = occ % 2 == 0
+    sym_a[occ[even]] = pn_a[even] * np.sqrt(2.0)
+    sym_b = np.zeros(spec.n_sc, dtype=np.complex128)
+    sym_b[occ] = pn_b
+    return sym_a, sym_b
+
+
+def build_grid(spec: WaveformSpec, data_syms: np.ndarray) -> np.ndarray:
+    """Assemble the frequency-domain frame grid [n_syms, n_sc].
+
+    data_syms: [n_data_syms, n_data_sc] complex QAM symbols.
+    Pilots carry +1 scaled by a per-symbol LFSR polarity; guards/DC are zero.
+    """
+    grid = np.zeros((spec.n_syms, spec.n_sc), dtype=np.complex128)
+    grid[0], grid[1] = preamble_freq(spec)
+    pol = pilot_polarity(spec.n_data_syms)
+    grid[2:, spec.pilot_bins] = pol[:, None]
+    grid[2:, spec.data_bins] = data_syms
+    return grid
+
+
+def ofdm_modulate(spec: WaveformSpec, grid: np.ndarray) -> np.ndarray:
+    """IFFT (ortho) + cyclic prefix -> time-domain frame [frame_len]."""
+    x = np.fft.ifft(grid, norm="ortho", axis=-1)
+    with_cp = np.concatenate([x[:, -spec.cp:], x], axis=-1)
+    return with_cp.reshape(-1)
+
+
+def ofdm_demodulate(spec: WaveformSpec, samples: np.ndarray, shift: int = 0) -> np.ndarray:
+    """CP strip + FFT -> grid [n_syms, n_sc].
+
+    `shift` advances the FFT window `shift` samples into the CP (timing
+    margin against multipath/late sync); the induced linear phase is
+    identical on preamble and data symbols, so the one-tap EQ absorbs it.
+    """
+    syms = samples[: spec.frame_len].reshape(spec.n_syms, spec.sym_len)
+    start = spec.cp - shift
+    windows = syms[:, start : start + spec.n_sc]
+    return np.fft.fft(windows, norm="ortho", axis=-1)
+
+
+# --------------------------------------------- channel estimation / EQ / CPE
+
+def estimate_channel(spec: WaveformSpec, grid_rx: np.ndarray) -> np.ndarray:
+    """LS channel estimate on occupied bins from preamble sym B.
+
+    H = Y * conj(X) / |X|^2 (X is unit-power PN, so this is Y * conj(X)).
+    Returns H over occupied bins [n_occupied]. SURVEY.md §2.1 #13.
+    """
+    _, sym_b = preamble_freq(spec)
+    occ = spec.occupied_bins
+    x = sym_b[occ]
+    return grid_rx[1, occ] * np.conj(x) / (np.abs(x) ** 2)
+
+
+def equalize(spec: WaveformSpec, grid_rx: np.ndarray, h_occ: np.ndarray,
+             eps: float = 1e-12) -> np.ndarray:
+    """One-tap zero-forcing EQ on occupied bins of the data symbols.
+
+    Returns equalized occupied-bin symbols [n_data_syms, n_occupied].
+    """
+    occ = spec.occupied_bins
+    y = grid_rx[2:, occ]
+    return y * np.conj(h_occ) / (np.abs(h_occ) ** 2 + eps)
+
+
+def track_phase(spec: WaveformSpec, eq_occ: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pilot-based common-phase-error correction per data symbol.
+
+    CPE per symbol = angle of sum over pilots of (eq_pilot * conj(expected));
+    data bins are rotated by exp(-j*cpe). Corrects residual CFO phase ramp
+    and phase noise CPE (SURVEY.md §2.1 #15). Returns (data symbols
+    [n_data_syms, n_data_sc], cpe per symbol [n_data_syms]).
+    """
+    pol = pilot_polarity(spec.n_data_syms)
+    pilots = eq_occ[:, spec.pilot_positions]
+    expected = pol[:, None]
+    corr = np.sum(pilots * np.conj(expected), axis=1)
+    cpe = np.angle(corr)
+    data = eq_occ[:, spec.data_positions] * np.exp(-1j * cpe)[:, None]
+    return data, cpe
+
+
+def evm_db(measured: np.ndarray, ideal: np.ndarray) -> float:
+    """Error vector magnitude in dB relative to ideal constellation power."""
+    err = np.mean(np.abs(measured - ideal) ** 2)
+    ref = np.mean(np.abs(ideal) ** 2)
+    return 10.0 * np.log10(err / ref + 1e-300)
