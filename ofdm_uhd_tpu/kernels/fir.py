@@ -1,0 +1,50 @@
+"""FIR / polyphase resampler kernel (K2) — backend dispatch.
+
+Replaces the reference-class liquid-dsp-style C/SIMD filter tier
+(SURVEY.md §2.2-K2; mount empty, §0). Backends:
+  'xla'    — conv_backend: one conv_general_dilated over (re, im) planes
+  'pallas' — pallas_fir (M3): im2col matmul on the MXU
+
+Numerics match golden.resample (same Kaiser-sinc prototype, same 'same'
+alignment / group-delay handling), up to f32.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from . import conv_backend
+
+
+def fir_filter(x: jax.Array, taps, backend: str = "xla") -> jax.Array:
+    """'Same'-aligned real-taps FIR of complex signals, [..., n] -> [..., n]."""
+    if backend == "pallas":
+        from .pallas_fir import fir_pallas
+        return fir_pallas(x, np.asarray(taps, dtype=np.float32))
+    return conv_backend.fir_same(x, taps)
+
+
+def polyphase_interp(x: jax.Array, l: int, taps: np.ndarray,
+                     backend: str = "xla") -> jax.Array:
+    """L-fold polyphase interpolation, [..., n] -> [..., n*l].
+
+    taps: prototype low-pass (host numpy; gain-l compensation applied
+    internally). Twin of golden.resample.resample(x, l, 1).
+    """
+    if backend == "pallas":
+        from .pallas_fir import polyphase_interp_pallas
+        return polyphase_interp_pallas(x, l, np.asarray(taps))
+    return conv_backend.polyphase_interp_xla(x, l, taps)
+
+
+def polyphase_decim(x: jax.Array, m: int, taps: np.ndarray,
+                    backend: str = "xla") -> jax.Array:
+    """M-fold polyphase decimation, [..., n*m] -> [..., n].
+
+    Twin of golden.resample.resample(x, 1, m).
+    """
+    if backend == "pallas":
+        from .pallas_fir import polyphase_decim_pallas
+        return polyphase_decim_pallas(x, m, np.asarray(taps))
+    return conv_backend.polyphase_decim_xla(x, m, taps)

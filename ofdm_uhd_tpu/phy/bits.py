@@ -1,0 +1,149 @@
+"""JAX bit-layer: scramble, CRC-32, convolutional FEC, Viterbi, interleaver.
+
+TPU-idiomatic re-design of the reference-class C++ shift-register loops
+(SURVEY.md §2.1 #2-#5, #21; mount empty, §0):
+
+* scrambler  -> precomputed LFSR sequence, one vectorized XOR
+* CRC-32     -> GF(2) affine map as a single f32 matmul (exact: sums < 2^24)
+* conv enc   -> 7-bit window construction + parity LUT gather, fully parallel
+* Viterbi    -> lax.scan over time with the 64-state ACS vectorized across
+                (batch, state); traceback as a reverse scan over stored
+                decisions — matches golden.bits.viterbi_decode bit-for-bit
+                (same tie-break: strict '>' prefers predecessor 0)
+* interleave -> precomputed permutation, jnp.take
+
+All functions are batched over a leading axis B and jit-safe (static shapes
+from the spec; tables are closed-over constants).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.spec import CONV_K
+from . import tables as T
+
+
+# ---------------------------------------------------------------- scrambler
+
+def scramble(bits: jax.Array, seed: int | None = None) -> jax.Array:
+    """XOR with the whitening LFSR sequence; bits [..., n] uint8/int."""
+    n = bits.shape[-1]
+    seq = T.scramble_seq(n) if seed is None else T.scramble_seq(n, seed)
+    return jnp.bitwise_xor(bits.astype(jnp.uint8), jnp.asarray(seq))
+
+
+descramble = scramble
+
+
+# ------------------------------------------------------------------- CRC-32
+
+def crc32(bits: jax.Array) -> jax.Array:
+    """CRC-32 over [..., n] bit arrays -> [..., 32] bits.
+
+    GF(2) affine form: crc = (M @ bits + c) mod 2, computed as an f32 matmul
+    (exact — row sums are far below 2^24). SURVEY.md §2.1 #21.
+    """
+    n = bits.shape[-1]
+    m, c = T.crc_matrix(n)
+    acc = bits.astype(jnp.float32) @ jnp.asarray(m.T, dtype=jnp.float32)
+    acc = acc + jnp.asarray(c, dtype=jnp.float32)
+    return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
+
+
+def crc32_check(payload: jax.Array, crc_rx: jax.Array) -> jax.Array:
+    """[..., n] payload + [..., 32] received crc -> [...] bool."""
+    return jnp.all(crc32(payload) == crc_rx.astype(jnp.uint8), axis=-1)
+
+
+# --------------------------------------------------- convolutional code K=7
+
+def conv_encode(bits: jax.Array) -> jax.Array:
+    """Rate-1/2 K=7 encoder on [..., n] -> [..., 2n], interleaved (a, b).
+
+    Builds the 7-bit window per step via shifted adds, then gathers the two
+    parity LUTs — no sequential loop (the recurrence is only apparent: the
+    state is just the previous 6 input bits).
+    """
+    lut_a, lut_b = T.conv_output_luts()
+    n = bits.shape[-1]
+    b = bits.astype(jnp.int32)
+    pad = jnp.zeros(bits.shape[:-1] + (CONV_K - 1,), dtype=jnp.int32)
+    padded = jnp.concatenate([pad, b], axis=-1)          # [..., n+6]
+    w = jnp.zeros_like(b)
+    for k in range(CONV_K):
+        w = w | (padded[..., CONV_K - 1 - k : CONV_K - 1 - k + n] << (6 - k))
+    out_a = jnp.asarray(lut_a)[w]
+    out_b = jnp.asarray(lut_b)[w]
+    return jnp.stack([out_a, out_b], axis=-1).reshape(bits.shape[:-1] + (2 * n,))
+
+
+def viterbi_decode(llr: jax.Array) -> jax.Array:
+    """Soft-input Viterbi for the rate-1/2 K=7 code; batched.
+
+    llr [B, 2n] (interleaved a/b, log P(0)/P(1)) -> bits [B, n].
+    lax.scan over the n trellis steps; ACS vectorized over [B, 64] states
+    (SURVEY.md §2.1 #4: the reference's hot C++ ACS loop becomes a scan of
+    VPU-wide selects). Trellis starts and ends in state 0 (tail-terminated).
+    """
+    vt = T.viterbi_tables()
+    pred = jnp.asarray(vt["pred"])          # [2, 64] int32
+    br_a = jnp.asarray(vt["br_a"])          # [2, 64] f32
+    br_b = jnp.asarray(vt["br_b"])          # [2, 64] f32
+    sign_a = 1.0 - 2.0 * br_a               # +1 for out 0, -1 for out 1
+    sign_b = 1.0 - 2.0 * br_b
+
+    squeeze = llr.ndim == 1
+    if squeeze:
+        llr = llr[None]
+    bsz, n2 = llr.shape
+    n = n2 // 2
+    la = llr[:, 0::2].T.astype(jnp.float32)  # [n, B]
+    lb = llr[:, 1::2].T.astype(jnp.float32)
+
+    neg = jnp.float32(-1e30)
+    pm0 = jnp.full((bsz, 64), neg).at[:, 0].set(0.0)
+
+    def acs(pm, inputs):
+        la_t, lb_t = inputs                                  # [B], [B]
+        bm = 0.5 * (sign_a[None] * la_t[:, None, None]
+                    + sign_b[None] * lb_t[:, None, None])    # [B, 2, 64]
+        cand = pm[:, pred] + bm                              # [B, 2, 64]
+        choice = cand[:, 1] > cand[:, 0]                     # [B, 64] (tie -> 0)
+        pm_new = jnp.where(choice, cand[:, 1], cand[:, 0])
+        return pm_new, choice
+
+    _, decisions = jax.lax.scan(acs, pm0, (la, lb))          # [n, B, 64] bool
+
+    def traceback(state, dec_t):
+        bit = (state >> 5) & 1                               # [B]
+        d = jnp.take_along_axis(dec_t, state[:, None], axis=1)[:, 0]
+        state_new = ((state & 31) << 1) | d.astype(jnp.int32)
+        return state_new, bit
+
+    state0 = jnp.zeros(bsz, dtype=jnp.int32)
+    _, bits_rev = jax.lax.scan(traceback, state0, decisions, reverse=True)
+    bits = bits_rev.T.astype(jnp.uint8)                      # [B, n]
+    return bits[0] if squeeze else bits
+
+
+# ---------------------------------------------------------------- interleaver
+
+def interleave(coded: jax.Array, n_cbps: int) -> jax.Array:
+    """Per-symbol block interleave on [..., n_syms*n_cbps]."""
+    perm, inv = T.interleave_tables(n_cbps)
+    blocks = coded.reshape(coded.shape[:-1] + (-1, n_cbps))
+    out = jnp.take(blocks, jnp.asarray(inv), axis=-1)
+    return out.reshape(coded.shape)
+
+
+def deinterleave(bits: jax.Array, n_cbps: int) -> jax.Array:
+    perm, inv = T.interleave_tables(n_cbps)
+    blocks = bits.reshape(bits.shape[:-1] + (-1, n_cbps))
+    out = jnp.take(blocks, jnp.asarray(perm), axis=-1)
+    return out.reshape(bits.shape)
+
+
+deinterleave_soft = deinterleave  # same gather, applied to LLRs

@@ -1,0 +1,94 @@
+"""JAX frame build/parse, OFDM modulate/demodulate, channel estimation,
+one-tap EQ and pilot phase tracking — batched over frames.
+
+TPU re-design of the reference-class per-symbol C++ loops around FFTW
+(SURVEY.md §2.1 #8-#15; mount empty, §0): everything operates on
+[B, n_syms, n_sc] grids with scatter/gather on precomputed bin indices, and
+the FFT runs through the K1 kernel (XLA or Pallas backend).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.spec import WaveformSpec
+from ..kernels import fft as K1
+from . import tables as T
+
+
+def build_grid(spec: WaveformSpec, data_syms: jax.Array) -> jax.Array:
+    """data_syms [B, n_data_syms, n_data_sc] -> grid [B, n_syms, n_sc] c64."""
+    t = T.frame_tables(spec)
+    b = data_syms.shape[0]
+    grid = jnp.zeros((b, spec.n_syms, spec.n_sc), dtype=jnp.complex64)
+    grid = grid.at[:, 0, :].set(jnp.asarray(t["sym_a"]))
+    grid = grid.at[:, 1, :].set(jnp.asarray(t["sym_b"]))
+    pol = jnp.asarray(t["pilot_polarity"]).astype(jnp.complex64)  # [n_data_syms]
+    grid = grid.at[:, 2:, jnp.asarray(t["pilot_bins"])].set(
+        jnp.broadcast_to(pol[None, :, None],
+                         (b, spec.n_data_syms, spec.n_pilots)))
+    grid = grid.at[:, 2:, jnp.asarray(t["data_bins"])].set(
+        data_syms.astype(jnp.complex64))
+    return grid
+
+
+def ofdm_modulate(spec: WaveformSpec, grid: jax.Array) -> jax.Array:
+    """grid [B, n_syms, n_sc] -> samples [B, frame_len] (IFFT + CP)."""
+    x = K1.ifft(grid, backend=spec.kernel_backend)
+    with_cp = jnp.concatenate([x[..., -spec.cp:], x], axis=-1)
+    return with_cp.reshape(grid.shape[0], spec.frame_len)
+
+
+def ofdm_demodulate(spec: WaveformSpec, samples: jax.Array,
+                    shift: int = 0) -> jax.Array:
+    """samples [B, frame_len] -> grid [B, n_syms, n_sc] (CP strip + FFT).
+
+    `shift` advances the FFT window into the CP (absorbed by the EQ, same as
+    golden.modem.ofdm_demodulate).
+    """
+    b = samples.shape[0]
+    syms = samples[:, : spec.frame_len].reshape(b, spec.n_syms, spec.sym_len)
+    start = spec.cp - shift
+    win = jax.lax.slice_in_dim(syms, start, start + spec.n_sc, axis=-1)
+    return K1.fft(win, backend=spec.kernel_backend)
+
+
+def estimate_channel(spec: WaveformSpec, grid_rx: jax.Array) -> jax.Array:
+    """LS estimate from preamble sym B -> H on occupied bins [B, n_occupied].
+
+    Twin of golden.modem.estimate_channel (X is unit-power PN, so
+    H = Y * conj(X)). SURVEY.md §2.1 #13; psum-averaged across shards in pod
+    mode (shard/ layer).
+    """
+    t = T.frame_tables(spec)
+    y = grid_rx[:, 1, jnp.asarray(t["occupied_bins"])]
+    return y * jnp.asarray(t["sym_b_occ_conj"])
+
+
+def equalize(spec: WaveformSpec, grid_rx: jax.Array, h_occ: jax.Array,
+             eps: float = 1e-12) -> jax.Array:
+    """One-tap ZF EQ -> equalized occupied bins [B, n_data_syms, n_occupied]."""
+    t = T.frame_tables(spec)
+    y = grid_rx[:, 2:, jnp.asarray(t["occupied_bins"])]
+    h = h_occ[:, None, :]
+    return y * jnp.conj(h) / (jnp.abs(h) ** 2 + eps)
+
+
+def track_phase(spec: WaveformSpec, eq_occ: jax.Array
+                ) -> tuple[jax.Array, jax.Array]:
+    """Pilot CPE correction -> (data [B, n_data_syms, n_data_sc], cpe [B, S])."""
+    t = T.frame_tables(spec)
+    pol = jnp.asarray(t["pilot_polarity"]).astype(jnp.complex64)
+    pilots = eq_occ[:, :, jnp.asarray(t["pilot_positions"])]
+    corr = jnp.sum(pilots * jnp.conj(pol)[None, :, None], axis=-1)  # [B, S]
+    cpe = jnp.angle(corr)
+    rot = jnp.exp(-1j * cpe)[:, :, None].astype(jnp.complex64)
+    data = eq_occ[:, :, jnp.asarray(t["data_positions"])] * rot
+    return data, cpe
+
+
+def data_csi(spec: WaveformSpec, h_occ: jax.Array) -> jax.Array:
+    """|H|^2 on data bins [B, n_data_sc] — LLR reliability weights."""
+    t = T.frame_tables(spec)
+    return jnp.abs(h_occ[:, jnp.asarray(t["data_positions"])]) ** 2

@@ -1,0 +1,111 @@
+"""JAX Schmidl-Cox synchronization: fixed-capacity frame detection under jit.
+
+This is the hard jit problem of the chain (SURVEY.md §7.3 #1): S&C yields a
+DATA-DEPENDENT number of frames at data-dependent offsets, but XLA needs
+static shapes. Design: `max_frames` detection slots filled by a lax.scan
+that repeatedly finds the first above-threshold metric sample after the
+previous frame, localizes the plateau (90%-of-peak midpoint rule, [P:9]),
+and emits (d, eps, valid). Invalid slots are masked, never branched on.
+
+Frame extraction is a vmapped dynamic_slice; CFO correction applies the NCO
+ramp per frame (SURVEY.md §2.1 #16-#17).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.spec import WaveformSpec
+from ..kernels.sync import sc_correlate, sc_metric
+from . import tables as T
+
+
+def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
+                  threshold: float = 0.5, rel: float = 0.9,
+                  backend: str | None = None):
+    """capture [n] -> (d [max_frames] i32, eps [max_frames] f32, valid [max_frames] bool).
+
+    d = estimated first sample of each frame; eps = fractional CFO in
+    subcarrier spacings from angle(P)/pi. Mirrors golden.sync.coarse_sync
+    slot-by-slot (first-crossing + local plateau midpoint - cp/2).
+    """
+    l = spec.n_sc // 2
+    n = capture.shape[-1]
+    p, rr = sc_correlate(capture, l, backend=backend or spec.kernel_backend)
+    m = sc_metric(p, rr)
+    nd = m.shape[-1]
+    span = spec.sym_len
+    # pad so dynamic_slice windows never clamp
+    m_pad = jnp.concatenate([m, jnp.zeros(span, m.dtype)])
+    idx = jnp.arange(nd, dtype=jnp.int32)
+
+    def slot(pos, _):
+        mask = (idx >= pos) & (m >= threshold)
+        found = jnp.any(mask)
+        first = jnp.argmax(mask).astype(jnp.int32)          # first True
+        w = jax.lax.dynamic_slice(m_pad, (first,), (span,))
+        peak_off = jnp.argmax(w).astype(jnp.int32)
+        peak_val = w[peak_off]
+        above = w >= rel * peak_val
+        lo = jnp.argmax(above).astype(jnp.int32)
+        hi = span - 1 - jnp.argmax(above[::-1]).astype(jnp.int32)
+        d = first + (lo + hi) // 2 - spec.cp // 2
+        d = jnp.maximum(d, 0)
+        eps = jnp.angle(p[jnp.minimum(first + peak_off, nd - 1)]) / jnp.pi
+        valid = found & (d + spec.frame_len <= n)
+        pos_next = jnp.where(valid, d + spec.frame_len, jnp.int32(nd))
+        return pos_next, (d, eps.astype(jnp.float32), valid)
+
+    _, (ds, epss, valids) = jax.lax.scan(slot, jnp.int32(0), None,
+                                         length=max_frames)
+    return ds, epss, valids
+
+
+def extract_frames(spec: WaveformSpec, capture: jax.Array,
+                   ds: jax.Array) -> jax.Array:
+    """Gather [max_frames, frame_len] frames at offsets ds (vmapped slice)."""
+    pad = jnp.zeros(spec.frame_len, capture.dtype)
+    cap = jnp.concatenate([capture, pad])
+
+    def one(d):
+        return jax.lax.dynamic_slice(cap, (d,), (spec.frame_len,))
+
+    return jax.vmap(one)(ds)
+
+
+def cfo_correct(frames: jax.Array, eps: jax.Array, n_sc: int) -> jax.Array:
+    """frames [B, n] * exp(-j 2 pi eps n / n_sc), per-frame eps [B]."""
+    n = jnp.arange(frames.shape[-1], dtype=jnp.float32)
+    phase = 2.0 * jnp.pi * eps[:, None] * n[None, :] / n_sc
+    return frames * jnp.exp(-1j * phase).astype(jnp.complex64)
+
+
+@functools.lru_cache(maxsize=32)
+def _int_cfo_tables(spec: WaveformSpec, search: int):
+    """Host-precomputed gather indices/reference for the integer-CFO search."""
+    t = T.frame_tables(spec)
+    occ = np.asarray(t["occupied_bins"], dtype=np.int64)
+    shifts = np.arange(-search, search + 1)
+    gather = (occ[None, :] + shifts[:, None]) % spec.n_sc   # [n_shifts, n_occ]
+    ref = np.asarray(t["sym_b_occ_conj"])                   # conj(X_B) on occ
+    return gather.astype(np.int32), ref, shifts.astype(np.int32)
+
+
+def integer_cfo(spec: WaveformSpec, frames: jax.Array,
+                search: int = 4) -> jax.Array:
+    """Integer CFO per frame [B] from preamble sym B (differential corr).
+
+    Twin of golden.sync.integer_cfo, vectorized over frames and shifts.
+    """
+    gather, ref, shifts = _int_cfo_tables(spec, search)
+    start = spec.sym_len + spec.cp
+    win = jax.lax.slice_in_dim(frames, start, start + spec.n_sc, axis=-1)
+    y = jnp.fft.fft(win, norm="ortho").astype(jnp.complex64)   # [B, n_sc]
+    ys = y[:, jnp.asarray(gather)]                              # [B, S, n_occ]
+    d = ys * jnp.asarray(ref)[None, None, :]
+    val = jnp.abs(jnp.sum(d[..., 1:] * jnp.conj(d[..., :-1]), axis=-1))  # [B, S]
+    return jnp.asarray(shifts)[jnp.argmax(val, axis=-1)]

@@ -1,0 +1,115 @@
+"""Batched RX pipeline: one fused jitted graph per spec.
+
+Target call stack (SURVEY.md §3.3): [resample to baseband] -> [S&C detect +
+CFO correct] -> CP strip + FFT -> chanest -> EQ -> phase track -> LLR demap
+-> deinterleave -> Viterbi -> descramble -> CRC. Replaces the
+reference-class ofdm_rx DSP thread (§3.1; mount empty, §0).
+
+Two modes:
+  rx_aligned(frames)  — known frame boundaries (loopback C1/C2/C4)
+  rx_capture(capture) — continuous capture with fixed-capacity S&C
+                        detection (C3); invalid slots masked, not branched
+The only host round-trips are input feed and result fetch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.spec import WaveformSpec, CRC_BITS, TAIL_BITS
+from ..kernels import fir as K2
+from ..phy import bits as PB
+from ..phy import frame as PF
+from ..phy import qam as PQ
+from ..phy import sync as PS
+from ..phy import tables as T
+
+
+class RxPipeline:
+    def __init__(self, spec: WaveformSpec, shift: int = 0,
+                 sync_threshold: float = 0.5):
+        self.spec = spec
+        self.shift = shift
+        self.sync_threshold = sync_threshold
+        self._aligned = jax.jit(functools.partial(_rx_aligned, spec, shift))
+        self._capture = jax.jit(
+            functools.partial(_rx_capture, spec, sync_threshold),
+            static_argnames=("max_frames",))
+
+    def rx_aligned(self, frames: jax.Array) -> dict:
+        """frames [B, frame_len_radio] -> result dict (all [B, ...])."""
+        return self._aligned(jnp.asarray(frames))
+
+    def rx_capture(self, capture: jax.Array, max_frames: int) -> dict:
+        """capture [n] -> result dict with [max_frames, ...] slots + 'valid'."""
+        return self._capture(jnp.asarray(capture), max_frames=max_frames)
+
+
+def _to_baseband(spec: WaveformSpec, x: jax.Array) -> jax.Array:
+    """Radio rate -> baseband (inverse of the TX resampling)."""
+    l, m = spec.resample_l, spec.resample_m
+    if l == 1 and m == 1:
+        return x
+    taps = T.resample_filter(l, m)
+    y = x
+    if m > 1:  # TX decimated by m -> RX interpolates by m
+        y = K2.polyphase_interp(y, m, taps, backend=spec.kernel_backend)
+    if l > 1:  # TX interpolated by l -> RX decimates by l
+        y = K2.polyphase_decim(y, l, taps, backend=spec.kernel_backend)
+    return y
+
+
+def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
+    """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len]."""
+    grid = PF.ofdm_demodulate(spec, frames, shift=shift)
+    h = PF.estimate_channel(spec, grid)
+    eq = PF.equalize(spec, grid, h)
+    data, cpe = PF.track_phase(spec, eq)
+    csi = jnp.broadcast_to(PF.data_csi(spec, h)[:, None, :], data.shape)
+    llr = PQ.qam_demap_llr(data, spec.modulation, csi=csi)
+    llr = llr.reshape(-1, spec.coded_bits_per_frame)
+    payload, crc_ok = _decode(spec, llr)
+    hard_bits = PQ.qam_demap_hard(data, spec.modulation)
+    ideal = PQ.qam_map(hard_bits, spec.modulation)
+    err = jnp.mean(jnp.abs(data.reshape(data.shape[0], -1)
+                           - ideal.reshape(data.shape[0], -1)) ** 2, axis=-1)
+    ref = jnp.mean(jnp.abs(ideal.reshape(data.shape[0], -1)) ** 2, axis=-1)
+    evm_db = 10.0 * jnp.log10(err / ref + 1e-30)
+    return {"payload": payload, "crc_ok": crc_ok, "evm_db": evm_db,
+            "data_syms": data, "cpe": cpe, "h": h}
+
+
+def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Interleaved coded LLRs [B, coded] -> (payload [B, n], crc_ok [B])."""
+    llr_d = PB.deinterleave_soft(llr, spec.coded_bits_per_sym)
+    decoded = PB.viterbi_decode(llr_d)
+    body = PB.descramble(decoded[:, : decoded.shape[-1] - TAIL_BITS])
+    payload = body[:, : body.shape[-1] - CRC_BITS]
+    crc_rx = body[:, body.shape[-1] - CRC_BITS:]
+    return payload, PB.crc32_check(payload, crc_rx)
+
+
+def _rx_aligned(spec: WaveformSpec, shift: int, frames: jax.Array) -> dict:
+    return _demod_frames(spec, _to_baseband(spec, frames), shift)
+
+
+def _rx_capture(spec: WaveformSpec, threshold: float, capture: jax.Array,
+                max_frames: int) -> dict:
+    capture = _to_baseband(spec, capture[None, :])[0]
+    ds, eps_f, valid = PS.detect_frames(spec, capture, max_frames,
+                                        threshold=threshold)
+    frames = PS.extract_frames(spec, capture, ds)
+    frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
+    k = PS.integer_cfo(spec, frames)
+    eps = eps_f + k.astype(jnp.float32)
+    refix = k != 0
+    frames = jnp.where(refix[:, None],
+                       PS.cfo_correct(frames, eps - eps_f, spec.n_sc),
+                       frames)
+    out = _demod_frames(spec, frames, shift=min(4, spec.cp // 4))
+    out.update({"d": ds, "eps": eps, "valid": valid,
+                "crc_ok": out["crc_ok"] & valid})
+    return out

@@ -1,0 +1,115 @@
+"""End-to-end JAX pipeline tests for acceptance configs C1-C4 (CPU/XLA).
+
+The sharded (C4/C5) variants live in tests/distributed/.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from ofdm_uhd_tpu.core.spec import ChannelSpec, config
+from ofdm_uhd_tpu.channel import apply_channel, make_capture
+from ofdm_uhd_tpu.golden import GoldenModem
+from ofdm_uhd_tpu.pipeline import TxPipeline, RxPipeline
+
+
+def rng_for(name):
+    return np.random.default_rng(zlib.crc32(name.encode()) % 2**31)
+
+
+def payloads_for(spec, n, r):
+    return r.integers(0, 2, (n, spec.payload_bits_per_frame)).astype(np.uint8)
+
+
+def test_tx_matches_golden():
+    r = rng_for("txg")
+    for cfg in ("c1", "c2", "c3"):
+        spec = config(cfg)
+        p = payloads_for(spec, 2, r)
+        jax_frames = np.asarray(TxPipeline(spec)(p))
+        gold_frames = GoldenModem(spec).tx(p)
+        np.testing.assert_allclose(jax_frames, gold_frames, atol=2e-5)
+
+
+def test_c1_loopback_bit_exact_vs_golden():
+    """BASELINE.json C1: 100 QPSK frames over AWGN — post-FEC bit-exact,
+    JAX chain agrees with the golden CPU reference."""
+    spec = config("c1")
+    r = rng_for("c1pipe")
+    p = payloads_for(spec, 100, r)
+    tx = TxPipeline(spec)
+    frames = np.asarray(tx(p))
+    ch = ChannelSpec(snr_db=12.0)
+    rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=50 + i)
+                      for i in range(100)])
+    out = RxPipeline(spec).rx_aligned(rx_in)
+    assert np.asarray(out["crc_ok"]).all()
+    assert np.array_equal(np.asarray(out["payload"]), p)
+    # golden on the same capture decodes identically
+    gold = GoldenModem(spec).rx_aligned(rx_in)
+    assert all(g.crc_ok and np.array_equal(g.payload, pp)
+               for g, pp in zip(gold, p))
+
+
+def test_c2_multipath_qam16():
+    spec = config("c2")
+    r = rng_for("c2pipe")
+    p = payloads_for(spec, 16, r)
+    frames = np.asarray(TxPipeline(spec)(p))
+    ch = ChannelSpec(snr_db=25.0, multipath_taps=(1.0, 0.4 - 0.2j, 0.1j))
+    rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=i)
+                      for i in range(len(p))])
+    out = RxPipeline(spec, shift=4).rx_aligned(rx_in)
+    assert np.asarray(out["crc_ok"]).all()
+    assert np.array_equal(np.asarray(out["payload"]), p)
+    assert np.asarray(out["evm_db"]).mean() < -15
+
+
+def test_c3_capture_sync_rx():
+    """BASELINE.json C3: 256-SC QAM-64 capture with CFO + phase noise —
+    fixed-capacity jitted detection matches golden's detections."""
+    spec = config("c3")
+    r = rng_for("c3pipe")
+    n = 6
+    p = payloads_for(spec, n, r)
+    gm = GoldenModem(spec)
+    frames = np.stack([gm.modulate_frame(x) for x in p])
+    ch = ChannelSpec(snr_db=28.0, cfo=1.3, phase_noise_std=5e-4,
+                     timing_offset=400)
+    cap = make_capture(frames, ch, spec.n_sc, gap=300, seed=9)
+    out = RxPipeline(spec).rx_capture(cap.astype(np.complex64), max_frames=8)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == n
+    assert np.asarray(out["crc_ok"])[: n].all()
+    assert np.array_equal(np.asarray(out["payload"])[:n], p)
+    np.testing.assert_allclose(np.asarray(out["eps"])[:n], 1.3, atol=0.05)
+    # same frames as golden finds
+    gold = gm.rx_capture(cap)
+    gd = np.array([d for d, _, _ in gold])
+    np.testing.assert_allclose(np.asarray(out["d"])[:n], gd, atol=spec.cp)
+
+
+def test_c4_resample_loopback():
+    """BASELINE.json C4: 1024-SC + 8x polyphase, aligned loopback."""
+    spec = config("c4")
+    r = rng_for("c4pipe")
+    p = payloads_for(spec, 2, r)
+    frames = np.asarray(TxPipeline(spec)(p))
+    assert frames.shape[1] == spec.frame_len_radio
+    ch = ChannelSpec(snr_db=30.0)
+    rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=i)
+                      for i in range(len(p))])
+    out = RxPipeline(spec).rx_aligned(rx_in)
+    assert np.asarray(out["crc_ok"]).all()
+    assert np.array_equal(np.asarray(out["payload"]), p)
+
+
+def test_capture_rx_noise_only_no_false_detects():
+    spec = config("c3")
+    r = rng_for("noise")
+    noise = (r.standard_normal(30000) + 1j * r.standard_normal(30000)
+             ).astype(np.complex64)
+    out = RxPipeline(spec).rx_capture(noise, max_frames=4)
+    assert not np.asarray(out["valid"]).any()
+    assert not np.asarray(out["crc_ok"]).any()

@@ -1,0 +1,85 @@
+"""JAX PHY blocks vs their golden NumPy twins (SURVEY.md §4 unit tier)."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from ofdm_uhd_tpu.core.spec import WaveformSpec, config
+from ofdm_uhd_tpu.golden import bits as GB
+from ofdm_uhd_tpu.golden import modem as GM
+from ofdm_uhd_tpu.phy import bits as PB
+from ofdm_uhd_tpu.phy import qam as PQ
+
+
+def rng_for(name):
+    return np.random.default_rng(zlib.crc32(name.encode()) % 2**31)
+
+
+def test_scramble_matches_golden():
+    r = rng_for("scramble")
+    b = r.integers(0, 2, (4, 300)).astype(np.uint8)
+    out = np.asarray(PB.scramble(b))
+    ref = np.stack([GB.scramble(x) for x in b])
+    assert np.array_equal(out, ref)
+
+
+def test_crc32_matches_golden():
+    r = rng_for("crc")
+    b = r.integers(0, 2, (5, 123)).astype(np.uint8)
+    out = np.asarray(PB.crc32(b))
+    ref = np.stack([GB.crc32_bits(x) for x in b])
+    assert np.array_equal(out, ref)
+
+
+def test_conv_encode_matches_golden():
+    r = rng_for("conv")
+    b = r.integers(0, 2, (3, 200)).astype(np.uint8)
+    out = np.asarray(PB.conv_encode(b))
+    ref = np.stack([GB.conv_encode(x) for x in b])
+    assert np.array_equal(out, ref)
+
+
+def test_viterbi_matches_golden():
+    r = rng_for("viterbi")
+    n = 300
+    msgs = r.integers(0, 2, (4, n)).astype(np.uint8)
+    llrs = []
+    for m in msgs:
+        coded = GB.conv_encode(np.concatenate([m, np.zeros(6, np.uint8)]))
+        llr = (1.0 - 2.0 * coded) + 0.7 * r.standard_normal(len(coded))
+        llrs.append(llr)
+    llrs = np.stack(llrs).astype(np.float32)
+    out = np.asarray(PB.viterbi_decode(llrs))
+    ref = np.stack([GB.viterbi_decode(l.astype(np.float64)) for l in llrs])
+    assert np.array_equal(out, ref)
+
+
+def test_interleave_matches_golden():
+    r = rng_for("ilv")
+    n_cbps = 192
+    b = r.integers(0, 2, (2, n_cbps * 12)).astype(np.uint8)
+    out = np.asarray(PB.interleave(b, n_cbps))
+    ref = np.stack([GB.interleave(x, n_cbps) for x in b])
+    assert np.array_equal(out, ref)
+    back = np.asarray(PB.deinterleave(out, n_cbps))
+    assert np.array_equal(back, b)
+
+
+@pytest.mark.parametrize("mod", ["bpsk", "qpsk", "qam16", "qam64"])
+def test_qam_matches_golden(mod):
+    from ofdm_uhd_tpu.core.spec import MOD_BITS
+    r = rng_for("qam" + mod)
+    bits = r.integers(0, 2, (2, MOD_BITS[mod] * 256)).astype(np.uint8)
+    syms = np.asarray(PQ.qam_map(bits, mod))
+    ref = np.stack([GM.qam_map(x, mod) for x in bits])
+    np.testing.assert_allclose(syms, ref, atol=1e-6)
+    # noisy demap equality
+    noisy = ref + 0.05 * (r.standard_normal(ref.shape)
+                          + 1j * r.standard_normal(ref.shape))
+    hard = np.asarray(PQ.qam_demap_hard(noisy.astype(np.complex64), mod))
+    hard_ref = np.stack([GM.qam_demap_hard(x, mod) for x in noisy])
+    assert np.array_equal(hard, hard_ref)
+    llr = np.asarray(PQ.qam_demap_llr(noisy.astype(np.complex64), mod))
+    llr_ref = np.stack([GM.qam_demap_llr(x, mod) for x in noisy])
+    np.testing.assert_allclose(llr, llr_ref, atol=1e-4)
