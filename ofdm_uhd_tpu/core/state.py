@@ -1,0 +1,74 @@
+"""StreamState — the carried state of the continuous-stream receiver.
+
+The reference-class system keeps this state implicitly in its C++ objects
+(NCO phase, AGC level, ring-buffer remainder; SURVEY.md §5.4 — mount empty,
+§0). Here it is an explicit pytree carried through the jitted streaming
+step, which makes checkpoint/resume trivial (np.savez of the leaves) and
+keeps the step function pure.
+
+Fields:
+  tail       [H] complex64   — last H samples of the previous chunk
+                               (overlap-save continuation, §5.7)
+  h_track    [n_occ] c64     — pod-averaged EMA channel estimate (psum'd)
+  eps_track  scalar f32      — pod-averaged EMA CFO estimate (psum'd)
+  track_wt   scalar f32      — EMA accumulated weight (0 until first frame)
+  samples    scalar i64      — total samples consumed (global timebase)
+  frames     scalar i32      — frames detected (owned detections only)
+  crc_ok     scalar i32      — frames passing CRC
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import WaveformSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StreamState:
+    tail: jax.Array
+    h_track: jax.Array
+    eps_track: jax.Array
+    track_wt: jax.Array
+    samples: jax.Array
+    frames: jax.Array
+    crc_ok: jax.Array
+
+    @staticmethod
+    def halo_len(spec: WaveformSpec) -> int:
+        """Halo: a frame detected at the last owned sample must complete,
+        and its S&C metric window (2L = n_sc) must be computable."""
+        return spec.frame_len + spec.n_sc
+
+    @classmethod
+    def init(cls, spec: WaveformSpec) -> "StreamState":
+        h = cls.halo_len(spec)
+        return cls(
+            tail=jnp.zeros(h, dtype=jnp.complex64),
+            h_track=jnp.zeros(spec.n_occupied, dtype=jnp.complex64),
+            eps_track=jnp.zeros((), dtype=jnp.float32),
+            track_wt=jnp.zeros((), dtype=jnp.float32),
+            # int32 timebase: fine for CI and bench; enable jax_enable_x64
+            # for >2G-sample production streams
+            samples=jnp.zeros((), dtype=jnp.int32),
+            frames=jnp.zeros((), dtype=jnp.int32),
+            crc_ok=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    # ---- checkpoint / resume (SURVEY.md §5.4) ----
+
+    def save(self, path: str) -> None:
+        leaves, _ = jax.tree_util.tree_flatten(self)
+        names = [f.name for f in dataclasses.fields(self)]
+        np.savez(path, **{n: np.asarray(v) for n, v in zip(names, leaves)})
+
+    @classmethod
+    def load(cls, path: str) -> "StreamState":
+        z = np.load(path)
+        kw = {f.name: jnp.asarray(z[f.name]) for f in dataclasses.fields(cls)}
+        return cls(**kw)

@@ -1,0 +1,109 @@
+"""Continuous-stream receiver: host loop around the sharded streaming step.
+
+Target call stack SURVEY.md §3.4 (pod_rx): the host feeds fixed-size chunks
+(the UHD ring buffer's replacement is the double-buffered device_put of the
+next chunk while the current one computes); the jitted step shards time
+blocks over the mesh, exchanges ppermute halos, psum-averages channel/CFO
+tracking, and returns fixed-capacity decoded-frame slots that the host
+filters and orders.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from ..core.spec import WaveformSpec
+from ..core.state import StreamState
+from ..shard.mesh import make_mesh
+from ..shard.time_parallel import make_stream_step
+
+
+@dataclasses.dataclass
+class StreamFrame:
+    start: int          # global sample offset of the frame
+    payload: np.ndarray
+    crc_ok: bool
+    eps: float
+    evm_db: float
+
+
+class StreamRx:
+    """Streaming OFDM receiver over a ('frame','time') mesh's time axis."""
+
+    def __init__(self, spec: WaveformSpec, mesh=None, chunk_len: int | None = None,
+                 max_frames_per_shard: int | None = None,
+                 threshold: float = 0.5):
+        if spec.resample_l != 1 or spec.resample_m != 1:
+            raise NotImplementedError(
+                "streaming mode expects baseband input; resample the capture "
+                "first (batched C4 path) — in-stream GSPMD decimation is a "
+                "planned optimization")
+        self.spec = spec
+        self.mesh = mesh if mesh is not None else make_mesh(
+            1, len(jax.devices()))
+        t = self.mesh.shape["time"]
+        h = StreamState.halo_len(spec)
+        if chunk_len is None:
+            chunk_len = t * max(2 * h, 4 * spec.frame_len)
+        self.chunk_len = chunk_len
+        self._step, self.cb, self.h = make_stream_step(
+            spec, self.mesh, chunk_len, max_frames_per_shard, threshold)
+        self.state = StreamState.init(spec)
+        self._buf = np.zeros(0, dtype=np.complex64)
+
+    def process(self, samples: np.ndarray) -> list[StreamFrame]:
+        """Feed samples (any length); returns frames completed so far."""
+        self._buf = np.concatenate([self._buf, samples.astype(np.complex64)])
+        out: list[StreamFrame] = []
+        while len(self._buf) >= self.chunk_len:
+            chunk, self._buf = (self._buf[: self.chunk_len],
+                                self._buf[self.chunk_len:])
+            self.state, outs = self._step(self.state, chunk)
+            out.extend(self._collect(outs))
+        return out
+
+    def flush(self) -> list[StreamFrame]:
+        """Zero-pad the remainder (plus one extra chunk so the delayed tail
+        is fully processed) and drain."""
+        pad = (-len(self._buf)) % self.chunk_len
+        filler = np.zeros(pad + self.chunk_len, dtype=np.complex64)
+        return self.process(filler)
+
+    def _collect(self, outs) -> list[StreamFrame]:
+        owned = np.asarray(outs["owned"])
+        if not owned.any():
+            return []
+        idx = np.nonzero(owned)[0]
+        d = np.asarray(outs["d_global"])[idx]
+        order = np.argsort(d)
+        res = []
+        for i in idx[order]:
+            res.append(StreamFrame(
+                start=int(np.asarray(outs["d_global"])[i]),
+                payload=np.asarray(outs["payload"][i]),
+                crc_ok=bool(np.asarray(outs["crc_ok"][i])),
+                eps=float(np.asarray(outs["eps"][i])),
+                evm_db=float(np.asarray(outs["evm_db"][i])),
+            ))
+        return res
+
+    # ---- checkpoint / resume (SURVEY.md §5.4) ----
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint = StreamState leaves + the host-side chunk buffer."""
+        import dataclasses as dc
+        leaves = {f.name: np.asarray(getattr(self.state, f.name))
+                  for f in dc.fields(self.state)}
+        np.savez(path, __buf__=self._buf, **leaves)
+
+    def load_state(self, path: str) -> None:
+        import dataclasses as dc
+        import jax.numpy as jnp
+        z = np.load(path)
+        kw = {f.name: jnp.asarray(z[f.name])
+              for f in dc.fields(StreamState)}
+        self.state = StreamState(**kw)
+        self._buf = z["__buf__"]

@@ -1,0 +1,155 @@
+"""Time-block sequence parallelism for the continuous stream (C4/C5).
+
+This is the workload's long-context story (SURVEY.md §2.3, §5.7): the
+sample stream is split into contiguous per-chip time blocks; overlap-save
+halos ride `lax.ppermute` between neighbours, and channel/CFO tracking is
+combined pod-wide with `psum` — exactly the collective set BASELINE.json
+[B:5, B:11] prescribes. DCN vs ICI routing is transparent: the same
+collectives work on a multi-host mesh after jax.distributed.initialize.
+
+Chunk protocol (overlap-save with one-chunk delay, SURVEY.md §5.7):
+  * every step consumes chunk [C] (C = T * Cb, sharded P('time')) plus the
+    carried tail [H] of the previous chunk;
+  * the processing window is ext = tail ++ chunk; shard i sees
+    ext[i*Cb : (i+1)*Cb + H]: its own block plus an H-sample halo that is
+    the head of its right neighbour's block (via ppermute) — except the
+    last shard, whose halo is the fresh tail (chunk[-H:]) passed in
+    replicated;
+  * a detection at local offset d is OWNED iff d < Cb, giving disjoint
+    contiguous ownership [k*C - H, (k+1)*C - H) across steps and shards —
+    no frame is decoded twice and none is lost (halo >= frame_len + n_sc);
+  * per-frame channel LS estimates and CFO estimates of OWNED frames are
+    psum-averaged over the mesh and folded into an EMA tracker in
+    StreamState.
+
+The sharded chain is equality-tested against the single-device chain
+bit-for-bit in tests/distributed/ (SURVEY.md §5.7 invariant).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.spec import WaveformSpec
+from ..core.state import StreamState
+from ..phy import sync as PS
+from ..pipeline import rx as RXP
+
+
+def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
+                threshold: float, ema: float, axis: str,
+                block, halo_fresh, state: StreamState):
+    """Per-shard body inside shard_map.
+
+    block [Cb] — this shard's slice of the chunk;
+    halo_fresh [H] — the chunk's last H samples (for the last shard);
+    state — replicated StreamState.
+    """
+    t = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    # halo: head H of my block -> left neighbour. Last shard gets zeros,
+    # then substitutes the fresh tail.
+    head = block[:h]
+    perm = [(i, i - 1) for i in range(1, t)]
+    halo = jax.lax.ppermute(head, axis, perm) if perm else jnp.zeros_like(head)
+    halo = jnp.where(idx == t - 1, halo_fresh, halo)
+    ext = jnp.concatenate([block, halo])                     # [Cb + H]
+
+    ds, eps_f, valid = PS.detect_frames(spec, ext, max_frames,
+                                        threshold=threshold)
+    owned = valid & (ds < cb)
+    frames = PS.extract_frames(spec, ext, ds)
+    frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
+    k = PS.integer_cfo(spec, frames)
+    eps = eps_f + k.astype(jnp.float32)
+    frames = PS.cfo_correct(frames, eps - eps_f, spec.n_sc)
+    out = RXP._demod_frames(spec, frames, shift=min(4, spec.cp // 4))
+    ok = out["crc_ok"] & owned
+
+    # ---- pod-wide tracking (psum over the time axis) ----
+    wt = ok.astype(jnp.float32)
+    h_sum = jax.lax.psum(jnp.sum(out["h"] * wt[:, None].astype(jnp.complex64),
+                                 axis=0), axis)
+    eps_sum = jax.lax.psum(jnp.sum(eps * wt), axis)
+    n_sum = jax.lax.psum(jnp.sum(wt), axis)
+    n_owned = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), axis)
+    n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), axis)
+
+    have = n_sum > 0
+    h_new = jnp.where(have, h_sum / jnp.maximum(n_sum, 1.0), state.h_track)
+    eps_new = jnp.where(have, eps_sum / jnp.maximum(n_sum, 1.0),
+                        state.eps_track)
+    first = state.track_wt == 0.0
+    a = jnp.where(first, 1.0, ema)
+    h_track = jnp.where(have, (1 - a) * state.h_track + a * h_new,
+                        state.h_track)
+    eps_track = jnp.where(have, (1 - a) * state.eps_track + a * eps_new,
+                          state.eps_track)
+    track_wt = state.track_wt + jnp.where(have, 1.0, 0.0)
+
+    new_state = StreamState(
+        tail=halo_fresh,  # replicated; identical on every shard
+        h_track=h_track,
+        eps_track=eps_track,
+        track_wt=track_wt,
+        samples=state.samples + cb * t,
+        frames=state.frames + n_owned,
+        crc_ok=state.crc_ok + n_ok,
+    )
+    # global start offset of each detection (relative to stream sample 0)
+    base = state.samples - h + idx * cb
+    d_global = jnp.where(owned, ds + base, -1)
+    outputs = {
+        "payload": out["payload"],      # [max_frames, bits] per shard
+        "crc_ok": ok,
+        "owned": owned,
+        "d_global": d_global,
+        "eps": eps,
+        "evm_db": out["evm_db"],
+    }
+    return new_state, outputs
+
+
+def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
+                     chunk_len: int, max_frames_per_shard: int | None = None,
+                     threshold: float = 0.5, ema: float = 0.25):
+    """Build the jitted sharded streaming step.
+
+    Returns (step, cb, h): step(state, chunk [chunk_len]) -> (state, outs);
+    chunk_len must be divisible by the 'time' axis size and each block must
+    be >= the halo (Cb >= H so the ppermute payload exists).
+    """
+    t = mesh.shape["time"]
+    assert chunk_len % t == 0, "chunk_len must divide over the time axis"
+    cb = chunk_len // t
+    h = StreamState.halo_len(spec)
+    assert cb >= h, f"block {cb} must be >= halo {h}"
+    if max_frames_per_shard is None:
+        # back-to-back frames: at most one start per frame_len, +1 boundary
+        max_frames_per_shard = cb // spec.frame_len + 2
+
+    body = functools.partial(_shard_step, spec, cb, h,
+                             max_frames_per_shard, threshold, ema, "time")
+
+    smapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("time"), P(), P()),
+        out_specs=(P(), P("time")),
+        check_vma=False,
+    )
+
+    def step(state: StreamState, chunk: jax.Array):
+        # processing window = tail ++ chunk, i.e. the stream delayed by H:
+        # the sharded body covers window[:C] and the chunk's last H samples
+        # ride along replicated as the final shard's halo AND the next tail.
+        body_part = jnp.concatenate([state.tail, chunk[: chunk_len - h]])
+        fresh = chunk[chunk_len - h:]
+        return smapped(body_part, fresh, state)
+
+    chunk_sharding = NamedSharding(mesh, P("time"))
+    return jax.jit(step, in_shardings=(None, chunk_sharding)), cb, h

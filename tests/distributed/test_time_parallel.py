@@ -1,0 +1,125 @@
+"""C5 semantics on the virtual 8-device CPU mesh (SURVEY.md §4).
+
+The load-bearing invariant: the sharded streaming chain produces the SAME
+decoded frames as (a) a 1-device mesh and (b) the golden capture receiver —
+overlap-save halos and ownership rules must be exact.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+import jax
+
+from ofdm_uhd_tpu.core.spec import ChannelSpec, config
+from ofdm_uhd_tpu.channel import make_capture
+from ofdm_uhd_tpu.golden import GoldenModem
+from ofdm_uhd_tpu.pipeline.stream import StreamRx
+from ofdm_uhd_tpu.shard.mesh import make_mesh
+
+
+def rng_for(name):
+    return np.random.default_rng(zlib.crc32(name.encode()) % 2**31)
+
+
+def _make_stream(spec, n_frames, seed, gap=500, offset=700):
+    r = rng_for(f"stream{seed}")
+    gm = GoldenModem(spec)
+    payloads = r.integers(0, 2, (n_frames, spec.payload_bits_per_frame)
+                          ).astype(np.uint8)
+    frames = np.stack([gm.modulate_frame(p) for p in payloads])
+    ch = ChannelSpec(snr_db=26.0, cfo=0.7, phase_noise_std=2e-4,
+                     timing_offset=offset)
+    cap = make_capture(frames, ch, spec.n_sc, gap=gap, seed=seed)
+    return cap.astype(np.complex64), payloads
+
+
+def _run(spec, cap, n_time, chunk_len):
+    mesh = make_mesh(1, n_time, devices=jax.devices()[:n_time])
+    rx = StreamRx(spec, mesh=mesh, chunk_len=chunk_len)
+    frames = rx.process(cap)
+    frames += rx.flush()
+    return frames, rx
+
+
+def test_sharded_equals_single_device():
+    spec = config("c5")
+    cap, payloads = _make_stream(spec, 10, seed=1)
+    h = 4032 + 256
+    chunk8 = 8 * max(2 * h, 4 * spec.frame_len)
+    f8, rx8 = _run(spec, cap, 8, chunk8)
+    f1, rx1 = _run(spec, cap, 1, chunk8)  # same chunking, one device
+    assert len(f8) == len(f1) == 10
+    for a, b in zip(f8, f1):
+        assert a.start == b.start
+        assert a.crc_ok and b.crc_ok
+        assert np.array_equal(a.payload, b.payload)
+    # and the decoded payloads are the transmitted ones, in order
+    for fr, p in zip(f8, payloads):
+        assert np.array_equal(fr.payload, p)
+    # pod counters agree
+    assert int(np.asarray(rx8.state.crc_ok)) == 10
+    assert int(np.asarray(rx1.state.crc_ok)) == 10
+
+
+def test_frames_straddling_all_boundaries():
+    """Gap/offset chosen so frames land on shard and chunk boundaries."""
+    spec = config("c5")
+    h = 4032 + 256
+    chunk = 8 * 2 * h
+    cb = chunk // 8
+    # place frames deliberately: one fully inside shard 0, one straddling
+    # the shard-0/1 boundary, one straddling the chunk boundary
+    gm = GoldenModem(spec)
+    r = rng_for("straddle")
+    payloads = r.integers(0, 2, (3, spec.payload_bits_per_frame)).astype(np.uint8)
+    frames = [gm.modulate_frame(p) for p in payloads]
+    stream = np.zeros(2 * chunk, dtype=np.complex64)
+    starts = [500, cb - spec.frame_len // 2, chunk - spec.frame_len // 3]
+    for s, f in zip(starts, frames):
+        stream[s : s + spec.frame_len] += f.astype(np.complex64)
+    noise = (rng_for("straddlen").standard_normal(len(stream))
+             + 1j * rng_for("straddlen2").standard_normal(len(stream))
+             ).astype(np.complex64) * 0.01
+    stream = stream + noise
+    rx = StreamRx(spec, mesh=make_mesh(1, 8), chunk_len=chunk)
+    got = rx.process(stream) + rx.flush()
+    assert len(got) == 3, [g.start for g in got]
+    for g, s, p in zip(got, starts, payloads):
+        assert abs(g.start - s) <= spec.cp
+        assert g.crc_ok
+        assert np.array_equal(g.payload, p)
+
+
+def test_stream_matches_golden_capture_rx():
+    spec = config("c5")
+    cap, payloads = _make_stream(spec, 6, seed=3)
+    f8, _ = _run(spec, cap, 8, 8 * 2 * (4032 + 256))
+    gold = GoldenModem(spec).rx_capture(cap.astype(np.complex128))
+    assert len(f8) == len(gold) == 6
+    for fr, (d, eps, res) in zip(f8, gold):
+        assert abs(fr.start - d) <= spec.cp
+        assert np.array_equal(fr.payload, res.payload)
+
+
+def test_checkpoint_resume(tmp_path):
+    """SURVEY.md §5.4: resume mid-stream reproduces the remaining frames."""
+    spec = config("c5")
+    cap, payloads = _make_stream(spec, 8, seed=4)
+    chunk = 8 * 2 * (4032 + 256)
+    rx = StreamRx(spec, mesh=make_mesh(1, 8), chunk_len=chunk)
+    # full run
+    full = rx.process(cap) + rx.flush()
+    # split run with save/restore between chunks
+    rx1 = StreamRx(spec, mesh=make_mesh(1, 8), chunk_len=chunk)
+    cut = 2 * chunk
+    part1 = rx1.process(cap[:cut])
+    rx1.save_state(str(tmp_path / "st.npz"))
+    rx2 = StreamRx(spec, mesh=make_mesh(1, 8), chunk_len=chunk)
+    rx2.load_state(str(tmp_path / "st.npz"))
+    part2 = rx2.process(cap[cut:]) + rx2.flush()
+    got = part1 + part2
+    assert len(got) == len(full) == 8
+    for a, b in zip(got, full):
+        assert a.start == b.start and np.array_equal(a.payload, b.payload)
