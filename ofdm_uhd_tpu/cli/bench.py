@@ -1,0 +1,93 @@
+"""Bench tool: per-config throughput/EVM with optional profiler trace
+(SURVEY.md §3.6, §5.1). The repo-root bench.py wraps this for the judged
+one-line JSON output."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from . import config as C
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    C.add_common_args(p)
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--mode", choices=["aligned", "capture", "stream"],
+                   default="capture")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace (Perfetto) here")
+    p.add_argument("--jsonl", default=None, help="append results to JSONL")
+    args = p.parse_args(argv)
+
+    import jax
+    from ..core.spec import ChannelSpec
+    from ..channel import apply_channel, make_capture
+    from ..golden import GoldenModem
+    from ..pipeline import TxPipeline, RxPipeline
+    from ..metrics import JsonlLogger
+
+    spec = C.spec_from_args(args)
+    rng = np.random.default_rng(args.seed)
+    payloads = rng.integers(
+        0, 2, (args.frames, spec.payload_bits_per_frame)).astype(np.uint8)
+    ch = ChannelSpec(snr_db=28.0, cfo=0.8 if args.mode != "aligned" else 0.0,
+                     timing_offset=100 if args.mode != "aligned" else 0)
+
+    if args.mode == "aligned":
+        frames = np.asarray(TxPipeline(spec)(payloads))
+        rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=i)
+                          for i in range(args.frames)])
+        rx = RxPipeline(spec, shift=min(4, spec.cp // 4))
+        x = jax.device_put(rx_in)
+        run = lambda: rx.rx_aligned(x)
+        n_samples = rx_in.size
+    else:
+        gm = GoldenModem(spec)
+        fr = np.stack([gm.modulate_frame(pp) for pp in payloads])
+        cap = make_capture(fr, ch, spec.n_sc, gap=300,
+                           seed=args.seed).astype(np.complex64)
+        rx = RxPipeline(spec)
+        x = jax.device_put(cap)
+        run = lambda: rx.rx_capture(x, max_frames=args.frames + 2)
+        n_samples = len(cap)
+
+    out = jax.block_until_ready(run())     # compile + warmup
+    n_ok = int(np.asarray(out["crc_ok"]).sum())
+
+    def timed():
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            o = run()
+        jax.block_until_ready(o)
+        return time.perf_counter() - t0
+
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            dt = timed()
+    else:
+        dt = timed()
+
+    sps = n_samples * args.iters / dt
+    rec = {
+        "config": args.config, "mode": args.mode,
+        "backend": spec.kernel_backend,
+        "device": jax.devices()[0].device_kind,
+        "msamples_per_s": round(sps / 1e6, 3),
+        "frames_per_s": round(n_ok * args.iters / dt, 1),
+        "frames_ok": n_ok, "frames": args.frames,
+        "evm_db": round(float(np.mean(np.asarray(out["evm_db"]))), 2),
+    }
+    if args.jsonl:
+        JsonlLogger(args.jsonl).log(rec)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
