@@ -54,6 +54,19 @@ class StreamRx:
         self.state = StreamState.init(spec)
         self._buf = np.zeros(0, dtype=np.complex64)
 
+    def _put_chunk(self, chunk: np.ndarray) -> jax.Array:
+        """Build the (possibly multi-host) global sharded chunk array.
+
+        Every process holds the full chunk host-side (the stream source is
+        shared/replicated, as with a common capture file); each device
+        receives only its own time-block. make_array_from_callback works
+        identically in single- and multi-process SPMD (SURVEY.md §5.8).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("time"))
+        return jax.make_array_from_callback(
+            (self.chunk_len,), sh, lambda idx: chunk[idx])
+
     def process(self, samples: np.ndarray) -> list[StreamFrame]:
         """Feed samples (any length); returns frames completed so far."""
         self._buf = np.concatenate([self._buf, samples.astype(np.complex64)])
@@ -61,7 +74,7 @@ class StreamRx:
         while len(self._buf) >= self.chunk_len:
             chunk, self._buf = (self._buf[: self.chunk_len],
                                 self._buf[self.chunk_len:])
-            self.state, outs = self._step(self.state, chunk)
+            self.state, outs = self._step(self.state, self._put_chunk(chunk))
             out.extend(self._collect(outs))
         return out
 

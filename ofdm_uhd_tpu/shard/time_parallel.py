@@ -112,6 +112,11 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
         "eps": eps,
         "evm_db": out["evm_db"],
     }
+    # all_gather -> fully replicated outputs: the host can read them on any
+    # process (multi-host pod) without extra transfers; they are tiny
+    # (max_frames slots per shard).
+    outputs = jax.tree_util.tree_map(
+        lambda a: jax.lax.all_gather(a, axis, axis=0, tiled=True), outputs)
     return new_state, outputs
 
 
@@ -139,7 +144,7 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
     smapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("time"), P(), P()),
-        out_specs=(P(), P("time")),
+        out_specs=(P(), P()),
         check_vma=False,
     )
 
