@@ -60,6 +60,7 @@ class WaveformSpec:
     pilot_offset: int = 6          # first pilot position among occupied bins
     resample_l: int = 1            # polyphase interpolation factor (TX → radio rate)
     resample_m: int = 1            # polyphase decimation factor (radio rate → RX)
+    chanest_smooth: int = 0        # odd MA window over occupied bins (0/1 = off)
     kernel_backend: str = "xla"    # 'xla' | 'pallas'
 
     def __post_init__(self):

@@ -169,16 +169,34 @@ def ofdm_demodulate(spec: WaveformSpec, samples: np.ndarray, shift: int = 0) -> 
 
 # --------------------------------------------- channel estimation / EQ / CPE
 
+def smooth_occ(h: np.ndarray, width: int) -> np.ndarray:
+    """Edge-renormalized moving average over the occupied-bin axis.
+
+    Channel responses vary smoothly across adjacent bins (delay spread <<
+    N), so averaging the per-bin LS estimates trades a little bias for a
+    ~width-fold noise reduction (SURVEY.md §2.1 #13 'interpolation across
+    bins'). Width must be odd; 0/1 disables.
+    """
+    if width <= 1:
+        return h
+    k = np.ones(width)
+    num = np.convolve(h, k, mode="same")
+    den = np.convolve(np.ones(len(h)), k, mode="same")
+    return num / den
+
+
 def estimate_channel(spec: WaveformSpec, grid_rx: np.ndarray) -> np.ndarray:
     """LS channel estimate on occupied bins from preamble sym B.
 
-    H = Y * conj(X) / |X|^2 (X is unit-power PN, so this is Y * conj(X)).
+    H = Y * conj(X) / |X|^2 (X is unit-power PN, so this is Y * conj(X)),
+    optionally smoothed across bins (spec.chanest_smooth).
     Returns H over occupied bins [n_occupied]. SURVEY.md §2.1 #13.
     """
     _, sym_b = preamble_freq(spec)
     occ = spec.occupied_bins
     x = sym_b[occ]
-    return grid_rx[1, occ] * np.conj(x) / (np.abs(x) ** 2)
+    h = grid_rx[1, occ] * np.conj(x) / (np.abs(x) ** 2)
+    return smooth_occ(h, spec.chanest_smooth)
 
 
 def equalize(spec: WaveformSpec, grid_rx: np.ndarray, h_occ: np.ndarray,

@@ -54,16 +54,37 @@ def ofdm_demodulate(spec: WaveformSpec, samples: jax.Array,
     return K1.fft(win, backend=spec.kernel_backend)
 
 
+def _smooth_occ(h: jax.Array, width: int) -> jax.Array:
+    """Edge-renormalized MA over the occupied-bin axis (golden twin)."""
+    if width <= 1:
+        return h
+    import numpy as np
+    n = h.shape[-1]
+    den = np.convolve(np.ones(n), np.ones(width), mode="same").astype(np.float32)
+    k = jnp.ones((1, 1, width), dtype=jnp.float32)
+    pad = [(width // 2, width - 1 - width // 2)]
+
+    def conv(p):  # [B, n] real plane
+        y = jax.lax.conv_general_dilated(
+            p[:, None, :], k, window_strides=(1,), padding=pad,
+            dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+        return y / jnp.asarray(den)
+
+    return (conv(jnp.real(h).astype(jnp.float32))
+            + 1j * conv(jnp.imag(h).astype(jnp.float32))).astype(h.dtype)
+
+
 def estimate_channel(spec: WaveformSpec, grid_rx: jax.Array) -> jax.Array:
     """LS estimate from preamble sym B -> H on occupied bins [B, n_occupied].
 
     Twin of golden.modem.estimate_channel (X is unit-power PN, so
-    H = Y * conj(X)). SURVEY.md §2.1 #13; psum-averaged across shards in pod
-    mode (shard/ layer).
+    H = Y * conj(X)), with the same optional bin smoothing. SURVEY.md §2.1
+    #13; psum-averaged across shards in pod mode (shard/ layer).
     """
     t = T.frame_tables(spec)
     y = grid_rx[:, 1, jnp.asarray(t["occupied_bins"])]
-    return y * jnp.asarray(t["sym_b_occ_conj"])
+    h = y * jnp.asarray(t["sym_b_occ_conj"])
+    return _smooth_occ(h, spec.chanest_smooth)
 
 
 def equalize(spec: WaveformSpec, grid_rx: jax.Array, h_occ: jax.Array,

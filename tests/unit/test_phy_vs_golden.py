@@ -83,3 +83,20 @@ def test_qam_matches_golden(mod):
     llr = np.asarray(PQ.qam_demap_llr(noisy.astype(np.complex64), mod))
     llr_ref = np.stack([GM.qam_demap_llr(x, mod) for x in noisy])
     np.testing.assert_allclose(llr, llr_ref, atol=1e-4)
+
+
+def test_chanest_smoothing_matches_golden():
+    """Optional H smoothing: JAX twin == golden (flat-channel benefit only;
+    biases multipath EQ at small N, so default-off — see docs)."""
+    from ofdm_uhd_tpu.core.spec import config
+    from ofdm_uhd_tpu.golden import modem as GM2
+    from ofdm_uhd_tpu.phy import frame as PF
+    r = rng_for("smooth")
+    spec = config("c3").with_(chanest_smooth=7)
+    g = (r.standard_normal((2, spec.n_syms, spec.n_sc))
+         + 1j * r.standard_normal((2, spec.n_syms, spec.n_sc))
+         ).astype(np.complex64)
+    h_jax = np.asarray(PF.estimate_channel(spec, g))
+    h_gold = np.stack([GM2.estimate_channel(spec, gg.astype(np.complex128))
+                       for gg in g])
+    np.testing.assert_allclose(h_jax, h_gold, atol=1e-4)
