@@ -89,11 +89,18 @@ def viterbi_decode(llr: jax.Array) -> jax.Array:
     VPU-wide selects). Trellis starts and ends in state 0 (tail-terminated).
     """
     vt = T.viterbi_tables()
-    pred = jnp.asarray(vt["pred"])          # [2, 64] int32
+    pred = vt["pred"]                       # [2, 64] int32 (host)
     br_a = jnp.asarray(vt["br_a"])          # [2, 64] f32
     br_b = jnp.asarray(vt["br_b"])          # [2, 64] f32
     sign_a = 1.0 - 2.0 * br_a               # +1 for out 0, -1 for out 1
     sign_b = 1.0 - 2.0 * br_b
+    # predecessor selection as permutation matmuls (gather-free; the MXU
+    # eats 64x64 one-hot matmuls, while per-state gathers lower poorly):
+    # pm_pred[p][b, s'] = pm[b, pred[p, s']] = (pm @ M_p)[b, s']
+    sel = np.zeros((2, 64, 64), dtype=np.float32)
+    for p_ in (0, 1):
+        sel[p_, pred[p_], np.arange(64)] = 1.0
+    m0, m1 = jnp.asarray(sel[0]), jnp.asarray(sel[1])
 
     squeeze = llr.ndim == 1
     if squeeze:
@@ -104,22 +111,30 @@ def viterbi_decode(llr: jax.Array) -> jax.Array:
     lb = llr[:, 1::2].T.astype(jnp.float32)
 
     neg = jnp.float32(-1e30)
-    pm0 = jnp.full((bsz, 64), neg).at[:, 0].set(0.0)
+    onehot0 = jnp.concatenate(
+        [jnp.ones((bsz, 1), jnp.float32), jnp.zeros((bsz, 63), jnp.float32)],
+        axis=1)
+    pm0 = neg * (1.0 - onehot0)
 
     def acs(pm, inputs):
         la_t, lb_t = inputs                                  # [B], [B]
         bm = 0.5 * (sign_a[None] * la_t[:, None, None]
                     + sign_b[None] * lb_t[:, None, None])    # [B, 2, 64]
-        cand = pm[:, pred] + bm                              # [B, 2, 64]
-        choice = cand[:, 1] > cand[:, 0]                     # [B, 64] (tie -> 0)
-        pm_new = jnp.where(choice, cand[:, 1], cand[:, 0])
+        c0 = pm @ m0 + bm[:, 0]                              # [B, 64]
+        c1 = pm @ m1 + bm[:, 1]
+        choice = c1 > c0                                     # tie -> pred 0
+        pm_new = jnp.where(choice, c1, c0)
         return pm_new, choice
 
     _, decisions = jax.lax.scan(acs, pm0, (la, lb))          # [n, B, 64] bool
 
+    states = jnp.arange(64, dtype=jnp.int32)
+
     def traceback(state, dec_t):
         bit = (state >> 5) & 1                               # [B]
-        d = jnp.take_along_axis(dec_t, state[:, None], axis=1)[:, 0]
+        # gather-free read of dec_t[b, state[b]] via one-hot reduction
+        oh = (states[None, :] == state[:, None])
+        d = jnp.sum(jnp.where(oh, dec_t, False), axis=1)
         state_new = ((state & 31) << 1) | d.astype(jnp.int32)
         return state_new, bit
 

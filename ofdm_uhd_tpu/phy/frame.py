@@ -2,9 +2,12 @@
 one-tap EQ and pilot phase tracking — batched over frames.
 
 TPU re-design of the reference-class per-symbol C++ loops around FFTW
-(SURVEY.md §2.1 #8-#15; mount empty, §0): everything operates on
-[B, n_syms, n_sc] grids with scatter/gather on precomputed bin indices, and
-the FFT runs through the K1 kernel (XLA or Pallas backend).
+(SURVEY.md §2.1 #8-#15; mount empty, §0). All subcarrier moves between
+orderings (data/pilot <-> FFT grid <-> occupied) are ONE-HOT SELECTION
+MATMULS, not gathers/scatters: on TPU a scatter lowers poorly (and this
+environment's backend lacks several gather/scatter paths outright), while
+an f32 one-hot matmul rides the MXU and fuses with neighbours. The FFT runs
+through the K1 kernel (XLA or Pallas backend).
 """
 
 from __future__ import annotations
@@ -17,20 +20,28 @@ from ..kernels import fft as K1
 from . import tables as T
 
 
+def _sel(x: jax.Array, m) -> jax.Array:
+    """Complex [..., a] @ one-hot [a, b] -> [..., b] via two real matmuls."""
+    mj = jnp.asarray(m)
+    re = jnp.real(x).astype(jnp.float32) @ mj
+    im = jnp.imag(x).astype(jnp.float32) @ mj
+    return (re + 1j * im).astype(jnp.complex64)
+
+
 def build_grid(spec: WaveformSpec, data_syms: jax.Array) -> jax.Array:
     """data_syms [B, n_data_syms, n_data_sc] -> grid [B, n_syms, n_sc] c64."""
     t = T.frame_tables(spec)
+    s = T.selection_tables(spec)
     b = data_syms.shape[0]
-    grid = jnp.zeros((b, spec.n_syms, spec.n_sc), dtype=jnp.complex64)
-    grid = grid.at[:, 0, :].set(jnp.asarray(t["sym_a"]))
-    grid = grid.at[:, 1, :].set(jnp.asarray(t["sym_b"]))
-    pol = jnp.asarray(t["pilot_polarity"]).astype(jnp.complex64)  # [n_data_syms]
-    grid = grid.at[:, 2:, jnp.asarray(t["pilot_bins"])].set(
-        jnp.broadcast_to(pol[None, :, None],
-                         (b, spec.n_data_syms, spec.n_pilots)))
-    grid = grid.at[:, 2:, jnp.asarray(t["data_bins"])].set(
-        data_syms.astype(jnp.complex64))
-    return grid
+    pol = jnp.asarray(t["pilot_polarity"]).astype(jnp.complex64)
+    pilots = jnp.broadcast_to(pol[None, :, None],
+                              (b, spec.n_data_syms, spec.n_pilots))
+    data_part = _sel(data_syms.astype(jnp.complex64), s["data_to_grid"])
+    pilot_part = _sel(pilots, s["pilot_to_grid"])
+    body = data_part + pilot_part                     # [B, S, n_sc]
+    pre = jnp.stack([jnp.asarray(t["sym_a"]), jnp.asarray(t["sym_b"])])
+    pre = jnp.broadcast_to(pre[None], (b, 2, spec.n_sc))
+    return jnp.concatenate([pre, body], axis=1)
 
 
 def ofdm_modulate(spec: WaveformSpec, grid: jax.Array) -> jax.Array:
@@ -82,7 +93,8 @@ def estimate_channel(spec: WaveformSpec, grid_rx: jax.Array) -> jax.Array:
     #13; psum-averaged across shards in pod mode (shard/ layer).
     """
     t = T.frame_tables(spec)
-    y = grid_rx[:, 1, jnp.asarray(t["occupied_bins"])]
+    s = T.selection_tables(spec)
+    y = _sel(grid_rx[:, 1, :], s["grid_to_occ"])
     h = y * jnp.asarray(t["sym_b_occ_conj"])
     return _smooth_occ(h, spec.chanest_smooth)
 
@@ -90,8 +102,8 @@ def estimate_channel(spec: WaveformSpec, grid_rx: jax.Array) -> jax.Array:
 def equalize(spec: WaveformSpec, grid_rx: jax.Array, h_occ: jax.Array,
              eps: float = 1e-12) -> jax.Array:
     """One-tap ZF EQ -> equalized occupied bins [B, n_data_syms, n_occupied]."""
-    t = T.frame_tables(spec)
-    y = grid_rx[:, 2:, jnp.asarray(t["occupied_bins"])]
+    s = T.selection_tables(spec)
+    y = _sel(grid_rx[:, 2:, :], s["grid_to_occ"])
     h = h_occ[:, None, :]
     return y * jnp.conj(h) / (jnp.abs(h) ** 2 + eps)
 
@@ -100,16 +112,17 @@ def track_phase(spec: WaveformSpec, eq_occ: jax.Array
                 ) -> tuple[jax.Array, jax.Array]:
     """Pilot CPE correction -> (data [B, n_data_syms, n_data_sc], cpe [B, S])."""
     t = T.frame_tables(spec)
+    s = T.selection_tables(spec)
     pol = jnp.asarray(t["pilot_polarity"]).astype(jnp.complex64)
-    pilots = eq_occ[:, :, jnp.asarray(t["pilot_positions"])]
+    pilots = _sel(eq_occ, s["occ_to_pilot"])
     corr = jnp.sum(pilots * jnp.conj(pol)[None, :, None], axis=-1)  # [B, S]
     cpe = jnp.angle(corr)
     rot = jnp.exp(-1j * cpe)[:, :, None].astype(jnp.complex64)
-    data = eq_occ[:, :, jnp.asarray(t["data_positions"])] * rot
+    data = _sel(eq_occ, s["occ_to_data"]) * rot
     return data, cpe
 
 
 def data_csi(spec: WaveformSpec, h_occ: jax.Array) -> jax.Array:
     """|H|^2 on data bins [B, n_data_sc] — LLR reliability weights."""
-    t = T.frame_tables(spec)
-    return jnp.abs(h_occ[:, jnp.asarray(t["data_positions"])]) ** 2
+    s = T.selection_tables(spec)
+    return jnp.abs(h_occ) ** 2 @ jnp.asarray(s["occ_to_data"])

@@ -12,25 +12,43 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.spec import MOD_BITS
 from . import tables as T
+
+
+def _gray_amplitude(bits_axis: jax.Array, nb: int) -> jax.Array:
+    """Gray-coded axis amplitude computed ARITHMETICALLY (gather-free).
+
+    With signs s_i = 2*b_i - 1 (b_0 = MSB), the LUT in tables.qam_tables is
+    exactly the nested form
+
+        a = s_0 * acc,   acc = 2^(nb-i) - s_i * acc  (i = nb-1 .. 1, acc0=1)
+
+    TPU rationale: a 2-8 entry table gather lowers to a scatter/gather op
+    the backend handles poorly (and this environment's backend not at all
+    for some operand sizes); three fused VPU ops replace it.
+    """
+    s = 2.0 * bits_axis.astype(jnp.float32) - 1.0        # [..., nb]
+    acc = jnp.float32(1.0)
+    for i in range(nb - 1, 0, -1):
+        acc = float(1 << (nb - i)) - s[..., i] * acc
+    return s[..., 0] * acc
 
 
 def qam_map(bits: jax.Array, mod: str) -> jax.Array:
     """bits [..., n*bits_per_qam] -> complex64 symbols [..., n]."""
     t = T.qam_tables(mod)
     nb = int(t["nb"])
-    lut = jnp.asarray(t["axis_lut"])
+    scale = float(np.max(np.abs(t["axis_lut"])) / ((1 << nb) - 1))
     bpq = MOD_BITS[mod]
-    b = bits.reshape(bits.shape[:-1] + (-1, bpq)).astype(jnp.int32)
-    weights = jnp.asarray([1 << k for k in range(nb - 1, -1, -1)], dtype=jnp.int32)
-    i_idx = jnp.sum(b[..., :nb] * weights, axis=-1)
-    re = lut[i_idx]
+    b = bits.reshape(bits.shape[:-1] + (-1, bpq))
+    re = _gray_amplitude(b[..., :nb], nb) * scale
     if mod == "bpsk":
         return re.astype(jnp.complex64)
-    q_idx = jnp.sum(b[..., nb:] * weights, axis=-1)
-    return (re + 1j * lut[q_idx]).astype(jnp.complex64)
+    im = _gray_amplitude(b[..., nb:], nb) * scale
+    return (re + 1j * im).astype(jnp.complex64)
 
 
 def _axis_llr(x: jax.Array, lut: jax.Array, bit_of_level: jax.Array) -> jax.Array:

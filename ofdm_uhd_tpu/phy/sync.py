@@ -86,13 +86,18 @@ def cfo_correct(frames: jax.Array, eps: jax.Array, n_sc: int) -> jax.Array:
 
 @functools.lru_cache(maxsize=32)
 def _int_cfo_tables(spec: WaveformSpec, search: int):
-    """Host-precomputed gather indices/reference for the integer-CFO search."""
+    """Host-precomputed shifted-bin SELECTION MATRIX for the integer-CFO
+    search (one-hot matmul instead of a [n_shifts, n_occ] gather — see
+    phy/frame.py on why gathers are avoided on this backend)."""
     t = T.frame_tables(spec)
     occ = np.asarray(t["occupied_bins"], dtype=np.int64)
     shifts = np.arange(-search, search + 1)
-    gather = (occ[None, :] + shifts[:, None]) % spec.n_sc   # [n_shifts, n_occ]
+    n_s, n_occ = len(shifts), len(occ)
+    sel = np.zeros((spec.n_sc, n_s * n_occ), dtype=np.float32)
+    for si, s in enumerate(shifts):
+        sel[(occ + s) % spec.n_sc, si * n_occ + np.arange(n_occ)] = 1.0
     ref = np.asarray(t["sym_b_occ_conj"])                   # conj(X_B) on occ
-    return gather.astype(np.int32), ref, shifts.astype(np.int32)
+    return sel, ref, shifts.astype(np.float32), n_s, n_occ
 
 
 def integer_cfo(spec: WaveformSpec, frames: jax.Array,
@@ -101,11 +106,16 @@ def integer_cfo(spec: WaveformSpec, frames: jax.Array,
 
     Twin of golden.sync.integer_cfo, vectorized over frames and shifts.
     """
-    gather, ref, shifts = _int_cfo_tables(spec, search)
+    sel, ref, shifts, n_s, n_occ = _int_cfo_tables(spec, search)
     start = spec.sym_len + spec.cp
     win = jax.lax.slice_in_dim(frames, start, start + spec.n_sc, axis=-1)
     y = jnp.fft.fft(win, norm="ortho").astype(jnp.complex64)   # [B, n_sc]
-    ys = y[:, jnp.asarray(gather)]                              # [B, S, n_occ]
+    selj = jnp.asarray(sel)
+    ys = ((jnp.real(y) @ selj) + 1j * (jnp.imag(y) @ selj)).astype(
+        jnp.complex64).reshape(y.shape[0], n_s, n_occ)
     d = ys * jnp.asarray(ref)[None, None, :]
     val = jnp.abs(jnp.sum(d[..., 1:] * jnp.conj(d[..., :-1]), axis=-1))  # [B, S]
-    return jnp.asarray(shifts)[jnp.argmax(val, axis=-1)]
+    # gather-free shift lookup: weighted sum over the argmax one-hot
+    best = jnp.argmax(val, axis=-1)                             # [B]
+    oh = (jnp.arange(n_s)[None, :] == best[:, None]).astype(jnp.float32)
+    return (oh @ jnp.asarray(shifts)).astype(jnp.float32)

@@ -103,6 +103,37 @@ def frame_tables(spec: WaveformSpec) -> dict[str, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=32)
+def selection_tables(spec: WaveformSpec) -> dict[str, np.ndarray]:
+    """One-hot f32 selection matrices — the gather/scatter-free way to move
+    symbols between bin orderings on TPU (MXU matmuls instead of scatter
+    ops, which this environment's backend partially lacks and which are
+    slow on TPUs generally).
+
+      data_to_grid  [n_data_sc, n_sc] : data symbols -> FFT-order bins
+      pilot_to_grid [n_pilots, n_sc]  : pilot symbols -> FFT-order bins
+      grid_to_occ   [n_sc, n_occ]     : FFT-order bins -> occupied ordering
+      occ_to_pilot  [n_occ, n_pilots] : occupied -> pilot positions
+      occ_to_data   [n_occ, n_data_sc]: occupied -> data positions
+    """
+    occ = spec.occupied_bins
+    out = {}
+
+    def onehot(rows, cols, row_idx_to_col):
+        m = np.zeros((rows, cols), dtype=np.float32)
+        m[np.arange(rows), row_idx_to_col] = 1.0
+        return m
+
+    out["data_to_grid"] = onehot(spec.n_data_sc, spec.n_sc, spec.data_bins)
+    out["pilot_to_grid"] = onehot(spec.n_pilots, spec.n_sc, spec.pilot_bins)
+    out["grid_to_occ"] = onehot(spec.n_occupied, spec.n_sc, occ).T.copy()
+    out["occ_to_pilot"] = onehot(
+        spec.n_pilots, spec.n_occupied, spec.pilot_positions).T.copy()
+    out["occ_to_data"] = onehot(
+        spec.n_data_sc, spec.n_occupied, spec.data_positions).T.copy()
+    return out
+
+
+@functools.lru_cache(maxsize=32)
 def resample_filter(l: int, m: int) -> np.ndarray:
     """Kaiser-sinc prototype (float32) shared with the golden resampler."""
     return GR.design_lowpass(l, m).astype(np.float32)
