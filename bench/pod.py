@@ -1,0 +1,96 @@
+"""Pod scaling bench: streaming frames/s and Msamples/s vs time-axis size
+(BASELINE.json C5; SURVEY.md §4 'Distributed on hardware').
+
+    PYTHONPATH=/root/repo python bench/pod.py --config c5 --devices 1,2,4,8
+
+On hardware, run one process per host with --distributed (the scaling
+efficiency >= 80% assertion is the bench gate). On this machine, CPU
+virtual devices give semantics (not perf): pass --cpu 8.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="c5")
+    p.add_argument("--devices", default="1")
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--cpu", type=int, default=0,
+                   help="force CPU with N virtual devices (semantics only)")
+    p.add_argument("--distributed", action="store_true")
+    p.add_argument("--jsonl", default=None)
+    args = p.parse_args()
+
+    import os
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={args.cpu}")
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from ofdm_uhd_tpu.cli import config as C
+    from ofdm_uhd_tpu.core.spec import ChannelSpec
+    from ofdm_uhd_tpu.channel import make_capture
+    from ofdm_uhd_tpu.golden import GoldenModem
+    from ofdm_uhd_tpu.pipeline.stream import StreamRx
+    from ofdm_uhd_tpu.shard.mesh import make_mesh
+
+    spec = C.load_spec(args.config)
+    rng = np.random.default_rng(0)
+    gm = GoldenModem(spec)
+    payloads = rng.integers(
+        0, 2, (args.frames, spec.payload_bits_per_frame)).astype(np.uint8)
+    frames = np.stack([gm.modulate_frame(pp) for pp in payloads])
+    cap = make_capture(frames, ChannelSpec(snr_db=26.0, cfo=0.4),
+                       spec.n_sc, gap=300, seed=0).astype(np.complex64)
+
+    base = None
+    for t in [int(x) for x in args.devices.split(",")]:
+        if t > len(jax.devices()):
+            print(f"# skip T={t}: only {len(jax.devices())} devices",
+                  file=sys.stderr)
+            continue
+        mesh = make_mesh(1, t, devices=jax.devices()[:t])
+        rx = StreamRx(spec, mesh=mesh)
+        pad = np.zeros((-len(cap)) % rx.chunk_len + rx.chunk_len,
+                       np.complex64)
+        stream = np.concatenate([cap, pad])
+        # warmup + correctness
+        rx.state = type(rx.state).init(spec)
+        got = rx.process(stream)
+        n_ok = sum(g.crc_ok for g in got)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            rx.state = type(rx.state).init(spec)
+            got = rx.process(stream)
+        dt = (time.perf_counter() - t0) / args.iters
+        msps = len(stream) / dt / 1e6
+        fps = n_ok / dt
+        eff = 1.0 if base is None else msps / (base * t)
+        if base is None:
+            base = msps
+        rec = {"devices": t, "frames_ok": n_ok, "frames": args.frames,
+               "msamples_per_s": round(msps, 2), "frames_per_s": round(fps, 1),
+               "scaling_eff": round(eff, 3)}
+        print(json.dumps(rec))
+        if args.jsonl:
+            with open(args.jsonl, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,15 +63,23 @@ def _to_baseband(spec: WaveformSpec, x: jax.Array) -> jax.Array:
 
 
 def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
-    """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len]."""
-    grid = PF.ofdm_demodulate(spec, frames, shift=shift)
-    h = PF.estimate_channel(spec, grid)
-    eq = PF.equalize(spec, grid, h)
-    data, cpe = PF.track_phase(spec, eq)
-    csi = jnp.broadcast_to(PF.data_csi(spec, h)[:, None, :], data.shape)
-    llr = PQ.qam_demap_llr(data, spec.modulation, csi=csi)
-    llr = llr.reshape(-1, spec.coded_bits_per_frame)
-    payload, crc_ok = _decode(spec, llr)
+    """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len].
+
+    jax.named_scope ranges per chain stage show up in profiler traces
+    (SURVEY.md §5.1) at zero runtime cost.
+    """
+    with jax.named_scope("ofdm_fft"):
+        grid = PF.ofdm_demodulate(spec, frames, shift=shift)
+    with jax.named_scope("chanest_eq_cpe"):
+        h = PF.estimate_channel(spec, grid)
+        eq = PF.equalize(spec, grid, h)
+        data, cpe = PF.track_phase(spec, eq)
+    with jax.named_scope("llr_demap"):
+        csi = jnp.broadcast_to(PF.data_csi(spec, h)[:, None, :], data.shape)
+        llr = PQ.qam_demap_llr(data, spec.modulation, csi=csi)
+        llr = llr.reshape(-1, spec.coded_bits_per_frame)
+    with jax.named_scope("fec_decode"):
+        payload, crc_ok = _decode(spec, llr)
     hard_bits = PQ.qam_demap_hard(data, spec.modulation)
     ideal = PQ.qam_map(hard_bits, spec.modulation)
     err = jnp.mean(jnp.abs(data.reshape(data.shape[0], -1)
