@@ -1,0 +1,83 @@
+"""Optional Pallas remote-DMA halo exchange (SURVEY.md §5.8 fast path).
+
+The default halo path is `lax.ppermute` (XLA collective). This kernel moves
+the same halo with an explicit inter-chip RDMA (`pltpu.make_async_remote_copy`
+with send/recv semaphores — the pattern of [S:33-67]/[S:165-207]), which a
+future revision can overlap with compute by splitting start/wait around the
+local work. Guarded behind StreamRx(..., pallas_halo=True); equality against
+the ppermute path is asserted in tests where the runtime supports it
+(multi-chip TPU, or interpret-mode distributed emulation), else skipped.
+
+Semantics (matching shard/time_parallel._shard_step):
+  shard i sends `head` (its first H samples) to shard i-1; shard i receives
+  shard i+1's head. Shard t-1 receives nothing (the caller substitutes the
+  fresh chunk tail); shard 0 sends nothing off the mesh edge.
+
+Complex samples travel as bitcast f32 pairs (DMA is dtype-agnostic, but
+Pallas TPU refs are happier in f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _halo_kernel(time_axis: str, frame_axis: str | None,
+                 in_ref, out_ref, send_sem, recv_sem):
+    my_id = jax.lax.axis_index(time_axis)
+    t = jax.lax.axis_size(time_axis)
+    coords = ((jax.lax.axis_index(frame_axis), my_id - 1)
+              if frame_axis else (my_id - 1,))
+
+    @pl.when(my_id > 0)
+    def _send():
+        copy = pltpu.make_async_remote_copy(
+            src_ref=in_ref,
+            dst_ref=out_ref,
+            send_sem=send_sem,
+            recv_sem=recv_sem,
+            device_id=coords,
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        copy.start()
+        copy.wait_send()
+
+    @pl.when(my_id < t - 1)
+    def _recv():
+        pltpu.make_async_remote_copy(
+            src_ref=in_ref, dst_ref=out_ref,
+            send_sem=send_sem, recv_sem=recv_sem,
+            device_id=coords,
+            device_id_type=pltpu.DeviceIdType.MESH,
+        ).wait_recv()
+
+
+def halo_from_right_pallas(head: jax.Array, time_axis: str = "time",
+                           frame_axis: str | None = "frame",
+                           interpret: bool = False) -> jax.Array:
+    """Inside shard_map: every shard's `head` [H] complex64 -> its right
+    neighbour's head (zeros on the last shard). RDMA equivalent of
+    lax.ppermute(head, time_axis, [(i, i-1)])."""
+    h = head.shape[-1]
+    planes = jax.lax.bitcast_convert_type(head, jnp.float32)  # [h, 2]
+    planes = planes.reshape(1, 2 * h)
+    out = pl.pallas_call(
+        functools.partial(_halo_kernel, time_axis, frame_axis),
+        out_shape=jax.ShapeDtypeStruct((1, 2 * h), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=7),
+        interpret=interpret,
+    )(planes)
+    halo = jax.lax.bitcast_convert_type(
+        out.reshape(h, 2), jnp.complex64)
+    t = jax.lax.axis_size(time_axis)
+    idx = jax.lax.axis_index(time_axis)
+    return jnp.where(idx == t - 1, jnp.zeros_like(halo), halo)

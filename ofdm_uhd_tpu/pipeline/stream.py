@@ -35,7 +35,7 @@ class StreamRx:
 
     def __init__(self, spec: WaveformSpec, mesh=None, chunk_len: int | None = None,
                  max_frames_per_shard: int | None = None,
-                 threshold: float = 0.5):
+                 threshold: float = 0.5, pallas_halo: bool = False):
         if spec.resample_l != 1 or spec.resample_m != 1:
             raise NotImplementedError(
                 "streaming mode expects baseband input; resample the capture "
@@ -50,7 +50,8 @@ class StreamRx:
             chunk_len = t * max(2 * h, 4 * spec.frame_len)
         self.chunk_len = chunk_len
         self._step, self.cb, self.h = make_stream_step(
-            spec, self.mesh, chunk_len, max_frames_per_shard, threshold)
+            spec, self.mesh, chunk_len, max_frames_per_shard, threshold,
+            pallas_halo=pallas_halo)
         self.state = StreamState.init(spec)
         self._buf = np.zeros(0, dtype=np.complex64)
 

@@ -41,7 +41,7 @@ from ..pipeline import rx as RXP
 
 
 def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
-                threshold: float, ema: float, axis: str,
+                threshold: float, ema: float, axis: str, pallas_halo: bool,
                 block, halo_fresh, state: StreamState):
     """Per-shard body inside shard_map.
 
@@ -55,8 +55,14 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
     # halo: head H of my block -> left neighbour. Last shard gets zeros,
     # then substitutes the fresh tail.
     head = block[:h]
-    perm = [(i, i - 1) for i in range(1, t)]
-    halo = jax.lax.ppermute(head, axis, perm) if perm else jnp.zeros_like(head)
+    if pallas_halo:
+        from ..kernels.pallas_halo import halo_from_right_pallas
+        halo = halo_from_right_pallas(
+            head, axis, interpret=jax.default_backend() != "tpu")
+    else:
+        perm = [(i, i - 1) for i in range(1, t)]
+        halo = (jax.lax.ppermute(head, axis, perm) if perm
+                else jnp.zeros_like(head))
     halo = jnp.where(idx == t - 1, halo_fresh, halo)
     ext = jnp.concatenate([block, halo])                     # [Cb + H]
 
@@ -122,7 +128,8 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
 
 def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
                      chunk_len: int, max_frames_per_shard: int | None = None,
-                     threshold: float = 0.5, ema: float = 0.25):
+                     threshold: float = 0.5, ema: float = 0.25,
+                     pallas_halo: bool = False):
     """Build the jitted sharded streaming step.
 
     Returns (step, cb, h): step(state, chunk [chunk_len]) -> (state, outs);
@@ -139,7 +146,8 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
         max_frames_per_shard = cb // spec.frame_len + 2
 
     body = functools.partial(_shard_step, spec, cb, h,
-                             max_frames_per_shard, threshold, ema, "time")
+                             max_frames_per_shard, threshold, ema, "time",
+                             pallas_halo)
 
     smapped = jax.shard_map(
         body, mesh=mesh,
