@@ -7,8 +7,11 @@ step, which makes checkpoint/resume trivial (np.savez of the leaves) and
 keeps the step function pure.
 
 Fields:
-  tail       [H] complex64   — last H samples of the previous chunk
+  tail       [H] complex64   — last H baseband samples of the previous chunk
                                (overlap-save continuation, §5.7)
+  rtail      [nt-1] c64      — radio-rate filter carry for in-stream
+                               polyphase decimation (empty when the spec
+                               has no resampling)
   h_track    [n_occ] c64     — pod-averaged EMA channel estimate (psum'd)
   eps_track  scalar f32      — pod-averaged EMA CFO estimate (psum'd)
   track_wt   scalar f32      — EMA accumulated weight (0 until first frame)
@@ -32,6 +35,7 @@ from .spec import WaveformSpec
 @dataclasses.dataclass
 class StreamState:
     tail: jax.Array
+    rtail: jax.Array
     h_track: jax.Array
     eps_track: jax.Array
     track_wt: jax.Array
@@ -45,11 +49,19 @@ class StreamState:
         and its S&C metric window (2L = n_sc) must be computable."""
         return spec.frame_len + spec.n_sc
 
+    @staticmethod
+    def rtail_len(spec: WaveformSpec) -> int:
+        if spec.resample_l <= 1:
+            return 0
+        from ..phy.tables import resample_filter
+        return len(resample_filter(spec.resample_l, spec.resample_m)) - 1
+
     @classmethod
     def init(cls, spec: WaveformSpec) -> "StreamState":
         h = cls.halo_len(spec)
         return cls(
             tail=jnp.zeros(h, dtype=jnp.complex64),
+            rtail=jnp.zeros(cls.rtail_len(spec), dtype=jnp.complex64),
             h_track=jnp.zeros(spec.n_occupied, dtype=jnp.complex64),
             eps_track=jnp.zeros((), dtype=jnp.float32),
             track_wt=jnp.zeros((), dtype=jnp.float32),

@@ -98,6 +98,28 @@ def polyphase_interp_xla(x: jax.Array, l: int, taps: np.ndarray) -> jax.Array:
     return _merge_complex(inter, info, n * l)
 
 
+def polyphase_decim_stream(w: jax.Array, m: int, taps: np.ndarray) -> jax.Array:
+    """Causal streaming M-fold decimation (valid mode, no implicit padding).
+
+    w [..., C*m + nt - 1] = carry(nt-1 radio samples) ++ chunk; returns
+    [..., C] with y[k] = sum_j h[j] * w[k*m + (nt-1) - j] — i.e. the
+    continuously-filtered stream delayed by nt-1 radio samples. The constant
+    delay is absorbed by frame sync. Used by the streaming receiver
+    (pipeline/stream.py); GSPMD partitions the strided conv with automatic
+    halo exchange when w is sharded.
+    """
+    taps = np.asarray(taps, dtype=np.float32)
+    planes, info = _split_complex(w)
+    lhs = planes[:, None, :]
+    rhs = jnp.asarray(taps[::-1])[None, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(m,), padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]
+    n_out = (w.shape[-1] - len(taps)) // m + 1
+    return _merge_complex(out, info, n_out)
+
+
 def polyphase_decim_xla(x: jax.Array, m: int, taps: np.ndarray) -> jax.Array:
     """M-fold decimation [..., n*m] -> [..., n]: strided 'same' FIR.
 

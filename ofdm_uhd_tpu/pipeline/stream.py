@@ -36,11 +36,9 @@ class StreamRx:
     def __init__(self, spec: WaveformSpec, mesh=None, chunk_len: int | None = None,
                  max_frames_per_shard: int | None = None,
                  threshold: float = 0.5, pallas_halo: bool = False):
-        if spec.resample_l != 1 or spec.resample_m != 1:
+        if spec.resample_m != 1:
             raise NotImplementedError(
-                "streaming mode expects baseband input; resample the capture "
-                "first (batched C4 path) — in-stream GSPMD decimation is a "
-                "planned optimization")
+                "streaming supports integer decimation (resample_m == 1)")
         self.spec = spec
         self.mesh = mesh if mesh is not None else make_mesh(
             1, len(jax.devices()))
@@ -48,7 +46,8 @@ class StreamRx:
         h = StreamState.halo_len(spec)
         if chunk_len is None:
             chunk_len = t * max(2 * h, 4 * spec.frame_len)
-        self.chunk_len = chunk_len
+        self.chunk_len = chunk_len              # baseband samples per step
+        self.radio_chunk = chunk_len * spec.resample_l  # input samples/step
         self._step, self.cb, self.h = make_stream_step(
             spec, self.mesh, chunk_len, max_frames_per_shard, threshold,
             pallas_halo=pallas_halo)
@@ -66,15 +65,16 @@ class StreamRx:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self.mesh, P("time"))
         return jax.make_array_from_callback(
-            (self.chunk_len,), sh, lambda idx: chunk[idx])
+            (self.radio_chunk,), sh, lambda idx: chunk[idx])
 
     def process(self, samples: np.ndarray) -> list[StreamFrame]:
-        """Feed samples (any length); returns frames completed so far."""
+        """Feed samples at the RADIO rate (any length); returns frames
+        completed so far (decoded at baseband)."""
         self._buf = np.concatenate([self._buf, samples.astype(np.complex64)])
         out: list[StreamFrame] = []
-        while len(self._buf) >= self.chunk_len:
-            chunk, self._buf = (self._buf[: self.chunk_len],
-                                self._buf[self.chunk_len:])
+        while len(self._buf) >= self.radio_chunk:
+            chunk, self._buf = (self._buf[: self.radio_chunk],
+                                self._buf[self.radio_chunk:])
             self.state, outs = self._step(self.state, self._put_chunk(chunk))
             out.extend(self._collect(outs))
         return out
@@ -82,8 +82,8 @@ class StreamRx:
     def flush(self) -> list[StreamFrame]:
         """Zero-pad the remainder (plus one extra chunk so the delayed tail
         is fully processed) and drain."""
-        pad = (-len(self._buf)) % self.chunk_len
-        filler = np.zeros(pad + self.chunk_len, dtype=np.complex64)
+        pad = (-len(self._buf)) % self.radio_chunk
+        filler = np.zeros(pad + self.radio_chunk, dtype=np.complex64)
         return self.process(filler)
 
     def _collect(self, outs) -> list[StreamFrame]:

@@ -100,6 +100,7 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
 
     new_state = StreamState(
         tail=halo_fresh,  # replicated; identical on every shard
+        rtail=state.rtail,  # updated outside shard_map (decimation stage)
         h_track=h_track,
         eps_track=eps_track,
         track_wt=track_wt,
@@ -156,7 +157,26 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
         check_vma=False,
     )
 
+    l, nt1 = spec.resample_l, 0
+    if l > 1:
+        if spec.resample_m != 1:
+            raise NotImplementedError("streaming supports integer decimation")
+        from ..phy import tables as _T
+        taps = _T.resample_filter(l, spec.resample_m)
+        nt1 = len(taps) - 1
+
     def step(state: StreamState, chunk: jax.Array):
+        import dataclasses as _dc
+        if l > 1:
+            # in-stream polyphase decimation (C4): the chunk arrives at the
+            # radio rate [C*l]; a causal valid-mode strided conv with the
+            # carried nt-1 radio samples gives the exact continuous
+            # filtering (GSPMD partitions the conv with automatic halos).
+            from ..kernels.conv_backend import polyphase_decim_stream
+            w = jnp.concatenate([state.rtail, chunk])
+            baseband = polyphase_decim_stream(w, l, taps)
+            state = _dc.replace(state, rtail=chunk[-nt1:])
+            chunk = baseband
         # processing window = tail ++ chunk, i.e. the stream delayed by H:
         # the sharded body covers window[:C] and the chunk's last H samples
         # ride along replicated as the final shard's halo AND the next tail.

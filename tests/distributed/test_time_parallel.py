@@ -123,3 +123,38 @@ def test_checkpoint_resume(tmp_path):
     assert len(got) == len(full) == 8
     for a, b in zip(got, full):
         assert a.start == b.start and np.array_equal(a.payload, b.payload)
+
+
+def test_c4_radio_rate_stream_sharded():
+    """BASELINE.json C4 as a continuous stream: 1024-SC frames at 8x radio
+    rate, in-stream polyphase decimation + overlap-save sharding."""
+    spec = config("c4").with_(n_data_syms=4)  # keep CPU runtime sane
+    r = rng_for("c4stream")
+    gm = GoldenModem(spec)
+    payloads = r.integers(0, 2, (3, spec.payload_bits_per_frame)).astype(np.uint8)
+    frames = np.stack([gm.modulate_frame(p) for p in payloads])
+    # interpolate to radio rate like the TX does, with gaps
+    from ofdm_uhd_tpu.golden import resample as GR
+    h_proto = GR.design_lowpass(spec.resample_l, 1)
+    parts = [np.zeros(4000, complex)]
+    for f in frames:
+        parts.append(GR.resample(f, spec.resample_l, 1, h_proto))
+        parts.append(np.zeros(6000, complex))
+    stream = np.concatenate(parts)
+    noise = 0.003 * (rng_for("c4n").standard_normal(len(stream))
+                     + 1j * rng_for("c4n2").standard_normal(len(stream)))
+    stream = (stream + noise).astype(np.complex64)
+
+    h = spec.frame_len + spec.n_sc
+    rx = StreamRx(spec, mesh=make_mesh(1, 4), chunk_len=4 * max(h + 64, 2 * h))
+    got = rx.process(stream) + rx.flush()
+    assert len(got) == 3, [g.start for g in got]
+    for g, p in zip(got, payloads):
+        assert g.crc_ok
+        assert np.array_equal(g.payload, p)
+    # sharded == single-device on the same radio stream
+    rx1 = StreamRx(spec, mesh=make_mesh(1, 1), chunk_len=rx.chunk_len)
+    got1 = rx1.process(stream) + rx1.flush()
+    assert len(got1) == 3
+    for a, b in zip(got, got1):
+        assert a.start == b.start and np.array_equal(a.payload, b.payload)
