@@ -61,6 +61,7 @@ class WaveformSpec:
     resample_l: int = 1            # polyphase interpolation factor (TX → radio rate)
     resample_m: int = 1            # polyphase decimation factor (radio rate → RX)
     chanest_smooth: int = 0        # odd MA window over occupied bins (0/1 = off)
+    sfo_track: bool = False        # pilot phase-SLOPE tracking (SFO/timing drift)
     kernel_backend: str = "xla"    # 'xla' | 'pallas'
 
     def __post_init__(self):

@@ -211,19 +211,33 @@ def equalize(spec: WaveformSpec, grid_rx: np.ndarray, h_occ: np.ndarray,
 
 
 def track_phase(spec: WaveformSpec, eq_occ: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Pilot-based common-phase-error correction per data symbol.
+    """Pilot-based per-symbol phase tracking.
 
-    CPE per symbol = angle of sum over pilots of (eq_pilot * conj(expected));
-    data bins are rotated by exp(-j*cpe). Corrects residual CFO phase ramp
-    and phase noise CPE (SURVEY.md §2.1 #15). Returns (data symbols
-    [n_data_syms, n_data_sc], cpe per symbol [n_data_syms]).
+    Always: common-phase-error (CPE) rotation — residual CFO ramp + phase
+    noise. With spec.sfo_track: additionally a phase SLOPE across frequency
+    per symbol (sampling-frequency offset / timing drift turns into a
+    k-proportional rotation; [P:5], SURVEY.md §2.1 #15). The slope comes
+    from adjacent-pilot phase differences (complex-domain, unwrap-free):
+
+        b = angle(sum_p  pil_p * conj(pil_{p-1})) / pilot_spacing
+        cpe = angle(sum_p pil_p * conj(expected_p) * e^{-j b k_p})
+
+    Returns (data symbols [n_data_syms, n_data_sc], cpe [n_data_syms]).
     """
     pol = pilot_polarity(spec.n_data_syms)
-    pilots = eq_occ[:, spec.pilot_positions]
-    expected = pol[:, None]
-    corr = np.sum(pilots * np.conj(expected), axis=1)
-    cpe = np.angle(corr)
-    data = eq_occ[:, spec.data_positions] * np.exp(-1j * cpe)[:, None]
+    pilots = eq_occ[:, spec.pilot_positions] * np.conj(pol[:, None])
+    k_pil = spec.pilot_positions.astype(np.float64)
+    if spec.sfo_track and spec.n_pilots >= 2:
+        diffs = pilots[:, 1:] * np.conj(pilots[:, :-1])
+        dk = np.diff(k_pil)
+        slope = np.angle(np.sum(diffs, axis=1)) / np.mean(dk)
+    else:
+        slope = np.zeros(spec.n_data_syms)
+    derot = np.exp(-1j * slope[:, None] * k_pil[None, :])
+    cpe = np.angle(np.sum(pilots * derot, axis=1))
+    k_data = spec.data_positions.astype(np.float64)
+    corr = np.exp(-1j * (cpe[:, None] + slope[:, None] * k_data[None, :]))
+    data = eq_occ[:, spec.data_positions] * corr
     return data, cpe
 
 

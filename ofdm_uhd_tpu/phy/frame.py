@@ -110,15 +110,27 @@ def equalize(spec: WaveformSpec, grid_rx: jax.Array, h_occ: jax.Array,
 
 def track_phase(spec: WaveformSpec, eq_occ: jax.Array
                 ) -> tuple[jax.Array, jax.Array]:
-    """Pilot CPE correction -> (data [B, n_data_syms, n_data_sc], cpe [B, S])."""
+    """Pilot phase tracking (CPE, + phase slope when spec.sfo_track) ->
+    (data [B, n_data_syms, n_data_sc], cpe [B, S]). Twin of
+    golden.modem.track_phase."""
+    import numpy as np
     t = T.frame_tables(spec)
     s = T.selection_tables(spec)
     pol = jnp.asarray(t["pilot_polarity"]).astype(jnp.complex64)
-    pilots = _sel(eq_occ, s["occ_to_pilot"])
-    corr = jnp.sum(pilots * jnp.conj(pol)[None, :, None], axis=-1)  # [B, S]
-    cpe = jnp.angle(corr)
-    rot = jnp.exp(-1j * cpe)[:, :, None].astype(jnp.complex64)
-    data = _sel(eq_occ, s["occ_to_data"]) * rot
+    pilots = _sel(eq_occ, s["occ_to_pilot"]) * jnp.conj(pol)[None, :, None]
+    k_pil = jnp.asarray(t["pilot_positions"].astype(np.float32))
+    if spec.sfo_track and spec.n_pilots >= 2:
+        diffs = pilots[..., 1:] * jnp.conj(pilots[..., :-1])
+        dk = float(np.mean(np.diff(t["pilot_positions"].astype(np.float64))))
+        slope = jnp.angle(jnp.sum(diffs, axis=-1)) / dk          # [B, S]
+    else:
+        slope = jnp.zeros(eq_occ.shape[:2], dtype=jnp.float32)
+    derot = jnp.exp(-1j * slope[..., None] * k_pil).astype(jnp.complex64)
+    cpe = jnp.angle(jnp.sum(pilots * derot, axis=-1))            # [B, S]
+    k_data = jnp.asarray(t["data_positions"].astype(np.float32))
+    corr = jnp.exp(-1j * (cpe[..., None] + slope[..., None] * k_data)
+                   ).astype(jnp.complex64)
+    data = _sel(eq_occ, s["occ_to_data"]) * corr
     return data, cpe
 
 

@@ -100,3 +100,39 @@ def test_chanest_smoothing_matches_golden():
     h_gold = np.stack([GM2.estimate_channel(spec, gg.astype(np.complex128))
                        for gg in g])
     np.testing.assert_allclose(h_jax, h_gold, atol=1e-4)
+
+
+def test_sfo_slope_tracking():
+    """Known phase slope across bins is removed when sfo_track is on, and
+    golden == JAX."""
+    from ofdm_uhd_tpu.core.spec import config
+    from ofdm_uhd_tpu.golden import modem as GM2
+    from ofdm_uhd_tpu.phy import frame as PF
+    spec = config("c3").with_(sfo_track=True)
+    r = rng_for("sfo")
+    from ofdm_uhd_tpu.golden.bits import pilot_polarity
+    pol = pilot_polarity(spec.n_data_syms)
+    # synth eq_occ: pilots with polarity, data = QPSK, all rotated by
+    # exp(j(a_s + b_s * k)) per symbol
+    a = r.uniform(-0.5, 0.5, spec.n_data_syms)
+    b = r.uniform(-0.01, 0.01, spec.n_data_syms)
+    k = np.arange(spec.n_occupied)
+    base = np.ones((spec.n_data_syms, spec.n_occupied), dtype=complex)
+    base[:, spec.pilot_positions] = pol[:, None]
+    data_syms = (1 - 2 * r.integers(0, 2, (spec.n_data_syms, spec.n_data_sc))
+                 + 1j * (1 - 2 * r.integers(0, 2, (spec.n_data_syms, spec.n_data_sc)))
+                 ) / np.sqrt(2)
+    base[:, spec.data_positions] = data_syms
+    rot = np.exp(1j * (a[:, None] + b[:, None] * k[None, :]))
+    eq = base * rot
+
+    data_g, cpe_g = GM2.track_phase(spec, eq)
+    # slope+cpe removed: recovered data matches the clean symbols closely
+    np.testing.assert_allclose(data_g, data_syms, atol=1e-6)
+    data_j, cpe_j = PF.track_phase(spec, eq[None].astype(np.complex64))
+    np.testing.assert_allclose(np.asarray(data_j)[0], data_g, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(cpe_j)[0], cpe_g, atol=1e-4)
+    # without sfo_track the slope is NOT removed (sanity that the flag acts)
+    spec0 = spec.with_(sfo_track=False)
+    data_g0, _ = GM2.track_phase(spec0, eq)
+    assert np.abs(data_g0 - data_syms).max() > 0.01
