@@ -62,6 +62,7 @@ class WaveformSpec:
     resample_m: int = 1            # polyphase decimation factor (radio rate → RX)
     chanest_smooth: int = 0        # odd MA window over occupied bins (0/1 = off)
     sfo_track: bool = False        # pilot phase-SLOPE tracking (SFO/timing drift)
+    eq_mode: str = "zf"            # 'zf' | 'mmse' (noise var from guard bins)
     kernel_backend: str = "xla"    # 'xla' | 'pallas'
 
     def __post_init__(self):
@@ -88,6 +89,18 @@ class WaveformSpec:
         bins = np.concatenate([neg, pos])
         bins.setflags(write=False)
         return bins
+
+    @functools.cached_property
+    def guard_bins(self) -> np.ndarray:
+        """Unoccupied bins excluding DC — noise-only observations used for
+        the MMSE equalizer's noise-variance estimate (DC excluded: real
+        radios park LO leakage there)."""
+        mask = np.ones(self.n_sc, dtype=bool)
+        mask[self.occupied_bins] = False
+        mask[0] = False
+        b = np.nonzero(mask)[0]
+        b.setflags(write=False)
+        return b
 
     @functools.cached_property
     def pilot_positions(self) -> np.ndarray:

@@ -199,15 +199,29 @@ def estimate_channel(spec: WaveformSpec, grid_rx: np.ndarray) -> np.ndarray:
     return smooth_occ(h, spec.chanest_smooth)
 
 
+def estimate_noise(spec: WaveformSpec, grid_rx: np.ndarray) -> float:
+    """Noise variance per bin from the guard (noise-only) bins, all symbols."""
+    g = grid_rx[:, spec.guard_bins]
+    return float(np.mean(np.abs(g) ** 2))
+
+
 def equalize(spec: WaveformSpec, grid_rx: np.ndarray, h_occ: np.ndarray,
              eps: float = 1e-12) -> np.ndarray:
-    """One-tap zero-forcing EQ on occupied bins of the data symbols.
+    """One-tap EQ on occupied bins of the data symbols.
+
+    spec.eq_mode 'zf': X = Y conj(H)/|H|^2; 'mmse': X = Y conj(H)/(|H|^2+s2)
+    with s2 estimated from the guard bins (SURVEY.md §2.1 #14). MMSE shrinks
+    amplitudes at low SNR (better coded performance with CSI-weighted LLRs,
+    slightly biased hard decisions).
 
     Returns equalized occupied-bin symbols [n_data_syms, n_occupied].
     """
     occ = spec.occupied_bins
     y = grid_rx[2:, occ]
-    return y * np.conj(h_occ) / (np.abs(h_occ) ** 2 + eps)
+    reg = eps
+    if spec.eq_mode == "mmse":
+        reg = estimate_noise(spec, grid_rx) + eps
+    return y * np.conj(h_occ) / (np.abs(h_occ) ** 2 + reg)
 
 
 def track_phase(spec: WaveformSpec, eq_occ: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -99,13 +99,32 @@ def estimate_channel(spec: WaveformSpec, grid_rx: jax.Array) -> jax.Array:
     return _smooth_occ(h, spec.chanest_smooth)
 
 
+def estimate_noise(spec: WaveformSpec, grid_rx: jax.Array) -> jax.Array:
+    """Per-frame noise variance [B] from the guard (noise-only) bins.
+
+    Selection-matmul form: sum |grid|^2 over guard bins = |grid|^2 @ onehot.
+    """
+    import numpy as np
+    oh = np.zeros(spec.n_sc, dtype=np.float32)
+    oh[spec.guard_bins] = 1.0
+    p = jnp.abs(grid_rx) ** 2
+    tot = jnp.sum(p @ jnp.asarray(oh), axis=-1)      # [B]
+    return tot / (spec.n_syms * len(spec.guard_bins))
+
+
 def equalize(spec: WaveformSpec, grid_rx: jax.Array, h_occ: jax.Array,
              eps: float = 1e-12) -> jax.Array:
-    """One-tap ZF EQ -> equalized occupied bins [B, n_data_syms, n_occupied]."""
+    """One-tap EQ -> equalized occupied bins [B, n_data_syms, n_occupied].
+
+    Twin of golden.modem.equalize ('zf' or 'mmse' per spec.eq_mode).
+    """
     s = T.selection_tables(spec)
     y = _sel(grid_rx[:, 2:, :], s["grid_to_occ"])
     h = h_occ[:, None, :]
-    return y * jnp.conj(h) / (jnp.abs(h) ** 2 + eps)
+    reg = jnp.float32(eps)
+    if spec.eq_mode == "mmse":
+        reg = estimate_noise(spec, grid_rx)[:, None, None] + eps
+    return y * jnp.conj(h) / (jnp.abs(h) ** 2 + reg)
 
 
 def track_phase(spec: WaveformSpec, eq_occ: jax.Array

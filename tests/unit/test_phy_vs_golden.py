@@ -136,3 +136,31 @@ def test_sfo_slope_tracking():
     spec0 = spec.with_(sfo_track=False)
     data_g0, _ = GM2.track_phase(spec0, eq)
     assert np.abs(data_g0 - data_syms).max() > 0.01
+
+
+def test_mmse_eq_matches_golden_and_decodes():
+    from ofdm_uhd_tpu.core.spec import config, ChannelSpec
+    from ofdm_uhd_tpu.channel import apply_channel
+    from ofdm_uhd_tpu.pipeline import TxPipeline, RxPipeline
+    from ofdm_uhd_tpu.golden import GoldenModem, modem as GM2
+    from ofdm_uhd_tpu.phy import frame as PF
+    spec = config("c2").with_(eq_mode="mmse")
+    r = rng_for("mmse")
+    p = r.integers(0, 2, (8, spec.payload_bits_per_frame)).astype(np.uint8)
+    frames = np.asarray(TxPipeline(spec)(p))
+    ch = ChannelSpec(snr_db=12.0, multipath_taps=(1.0, 0.3 - 0.2j))
+    rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=i)
+                      for i in range(8)])
+    out = RxPipeline(spec, shift=4).rx_aligned(rx_in)
+    gold = GoldenModem(spec).rx_aligned(rx_in, shift=4)
+    # noise estimate agrees between twins
+    g = GM2.ofdm_demodulate(spec, rx_in[0].astype(np.complex128), shift=4)
+    nv_g = GM2.estimate_noise(spec, g)
+    gj = PF.ofdm_demodulate(spec, rx_in.astype(np.complex64), shift=4)
+    nv_j = float(np.asarray(PF.estimate_noise(spec, gj))[0])
+    assert abs(nv_j - nv_g) / nv_g < 1e-3
+    # decodes and agrees with golden
+    assert np.asarray(out["crc_ok"]).all()
+    for i, gr in enumerate(gold):
+        assert gr.crc_ok and np.array_equal(np.asarray(out["payload"])[i],
+                                            gr.payload)
