@@ -69,14 +69,27 @@ class StreamRx:
 
     def process(self, samples: np.ndarray) -> list[StreamFrame]:
         """Feed samples at the RADIO rate (any length); returns frames
-        completed so far (decoded at baseband)."""
+        completed so far (decoded at baseband).
+
+        Double-buffered feed (the UHD ring buffer's replacement, SURVEY.md
+        §2.2-K4): the next chunk is device_put and its step dispatched
+        before the previous step's outputs are fetched, so host transfers
+        overlap device compute (jit dispatch is async).
+        """
         self._buf = np.concatenate([self._buf, samples.astype(np.complex64)])
+        n_chunks = len(self._buf) // self.radio_chunk
         out: list[StreamFrame] = []
-        while len(self._buf) >= self.radio_chunk:
-            chunk, self._buf = (self._buf[: self.radio_chunk],
-                                self._buf[self.radio_chunk:])
-            self.state, outs = self._step(self.state, self._put_chunk(chunk))
-            out.extend(self._collect(outs))
+        pending = None
+        for i in range(n_chunks):
+            chunk = self._buf[i * self.radio_chunk : (i + 1) * self.radio_chunk]
+            dev = self._put_chunk(chunk)
+            self.state, outs = self._step(self.state, dev)
+            if pending is not None:
+                out.extend(self._collect(pending))
+            pending = outs
+        self._buf = self._buf[n_chunks * self.radio_chunk:]
+        if pending is not None:
+            out.extend(self._collect(pending))
         return out
 
     def flush(self) -> list[StreamFrame]:
