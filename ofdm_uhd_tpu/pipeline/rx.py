@@ -93,7 +93,11 @@ def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
 def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Interleaved coded LLRs [B, coded] -> (payload [B, n], crc_ok [B])."""
     llr_d = PB.deinterleave_soft(llr, spec.coded_bits_per_sym)
-    decoded = PB.viterbi_decode(llr_d)
+    if spec.kernel_backend == "pallas":
+        from ..kernels.pallas_viterbi import viterbi_pallas
+        decoded = viterbi_pallas(llr_d)
+    else:
+        decoded = PB.viterbi_decode(llr_d)
     body = PB.descramble(decoded[:, : decoded.shape[-1] - TAIL_BITS])
     payload = body[:, : body.shape[-1] - CRC_BITS]
     crc_rx = body[:, body.shape[-1] - CRC_BITS:]
@@ -113,10 +117,9 @@ def _rx_capture(spec: WaveformSpec, threshold: float, capture: jax.Array,
     frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
     k = PS.integer_cfo(spec, frames)
     eps = eps_f + k.astype(jnp.float32)
-    refix = k != 0
-    frames = jnp.where(refix[:, None],
-                       PS.cfo_correct(frames, eps - eps_f, spec.n_sc),
-                       frames)
+    # residual integer-CFO ramp composes with the fractional one already
+    # applied (k = 0 -> identity); no branch needed
+    frames = PS.cfo_correct(frames, eps - eps_f, spec.n_sc)
     out = _demod_frames(spec, frames, shift=min(4, spec.cp // 4))
     out.update({"d": ds, "eps": eps, "valid": valid,
                 "crc_ok": out["crc_ok"] & valid})

@@ -121,3 +121,25 @@ def test_pallas_sync_matches_xla_and_golden():
     p_g, rr_g = GS.sc_metric(spec, x.astype(np.complex128))
     np.testing.assert_allclose(np.asarray(p_pl), p_g, atol=1e-2)
     np.testing.assert_allclose(np.asarray(rr_pl), rr_g, atol=1e-2)
+
+
+def test_pallas_viterbi_matches_scan_and_golden():
+    from ofdm_uhd_tpu.golden import bits as GB
+    from ofdm_uhd_tpu.phy import bits as PB
+    from ofdm_uhd_tpu.kernels.pallas_viterbi import viterbi_pallas
+    r = rng_for("pvit")
+    n = 561  # odd length, exercises non-multiple sizes
+    msgs = r.integers(0, 2, (5, n)).astype(np.uint8)  # odd batch too
+    llrs = []
+    for m in msgs:
+        coded = GB.conv_encode(np.concatenate([m, np.zeros(6, np.uint8)]))
+        llrs.append((1.0 - 2.0 * coded) + 0.6 * r.standard_normal(len(coded)))
+    llrs = np.stack(llrs).astype(np.float32)
+    out_pl = np.asarray(viterbi_pallas(llrs))
+    out_scan = np.asarray(PB.viterbi_decode(llrs))
+    assert np.array_equal(out_pl, out_scan)
+    out_gold = np.stack([GB.viterbi_decode(l.astype(np.float64))
+                         for l in llrs])
+    assert np.array_equal(out_pl, out_gold)
+    # and all decode the true messages
+    assert np.array_equal(out_pl[:, :n], msgs)
