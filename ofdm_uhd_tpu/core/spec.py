@@ -63,6 +63,7 @@ class WaveformSpec:
     chanest_smooth: int = 0        # odd MA window over occupied bins (0/1 = off)
     sfo_track: bool = False        # pilot phase-SLOPE tracking (SFO/timing drift)
     eq_mode: str = "zf"            # 'zf' | 'mmse' (noise var from guard bins)
+    tx_window: int = 0             # raised-cosine edge taper (samples, < cp/2)
     kernel_backend: str = "xla"    # 'xla' | 'pallas'
 
     def __post_init__(self):

@@ -148,10 +148,29 @@ def build_grid(spec: WaveformSpec, data_syms: np.ndarray) -> np.ndarray:
 
 
 def ofdm_modulate(spec: WaveformSpec, grid: np.ndarray) -> np.ndarray:
-    """IFFT (ortho) + cyclic prefix -> time-domain frame [frame_len]."""
+    """IFFT (ortho) + cyclic prefix -> time-domain frame [frame_len].
+
+    With spec.tx_window = W > 0: windowed OFDM — each symbol gets a
+    raised-cosine rise over the first W CP samples and a W-sample cyclic
+    SUFFIX (body head, RC fall) overlap-added onto the next symbol's CP
+    rise. Spectral sidelobes drop sharply; the RX FFT window [cp-shift,
+    cp-shift+N) is untouched as long as W + shift <= cp (asserted by use).
+    """
     x = np.fft.ifft(grid, norm="ortho", axis=-1)
     with_cp = np.concatenate([x[:, -spec.cp:], x], axis=-1)
-    return with_cp.reshape(-1)
+    w = spec.tx_window
+    if w <= 0:
+        return with_cp.reshape(-1)
+    assert 2 * w <= spec.cp, "tx_window must be <= cp/2"
+    ramp = 0.5 * (1 - np.cos(np.pi * (np.arange(w) + 0.5) / w))
+    out = np.zeros(spec.frame_len + w, dtype=np.complex128)
+    for s in range(spec.n_syms):
+        t0 = s * spec.sym_len
+        sym = with_cp[s].copy()
+        sym[:w] *= ramp
+        out[t0 : t0 + spec.sym_len] += sym
+        out[t0 + spec.sym_len : t0 + spec.sym_len + w] += x[s, :w] * ramp[::-1]
+    return out[: spec.frame_len]
 
 
 def ofdm_demodulate(spec: WaveformSpec, samples: np.ndarray, shift: int = 0) -> np.ndarray:

@@ -45,10 +45,37 @@ def build_grid(spec: WaveformSpec, data_syms: jax.Array) -> jax.Array:
 
 
 def ofdm_modulate(spec: WaveformSpec, grid: jax.Array) -> jax.Array:
-    """grid [B, n_syms, n_sc] -> samples [B, frame_len] (IFFT + CP)."""
+    """grid [B, n_syms, n_sc] -> samples [B, frame_len] (IFFT + CP).
+
+    Windowed-OFDM taper per spec.tx_window (twin of golden.modem's
+    overlap-add form, vectorized: the suffix overlap-add is a pad + shifted
+    add over the symbol axis instead of a loop).
+    """
+    import numpy as np
     x = K1.ifft(grid, backend=spec.kernel_backend)
     with_cp = jnp.concatenate([x[..., -spec.cp:], x], axis=-1)
-    return with_cp.reshape(grid.shape[0], spec.frame_len)
+    w = spec.tx_window
+    b = grid.shape[0]
+    if w <= 0:
+        return with_cp.reshape(b, spec.frame_len)
+    assert 2 * w <= spec.cp, "tx_window must be <= cp/2"
+    ramp = jnp.asarray(
+        0.5 * (1 - np.cos(np.pi * (np.arange(w) + 0.5) / w)),
+        dtype=jnp.float32).astype(jnp.complex64)
+    head = with_cp[..., :w] * ramp
+    body = with_cp[..., w:]
+    tapered = jnp.concatenate([head, body], axis=-1)     # [B, S, sym_len]
+    main = tapered.reshape(b, spec.frame_len)
+    suffix = x[..., :w] * ramp[::-1]                     # [B, S, w]
+    pad = jnp.zeros((b, spec.n_syms, spec.sym_len - w), dtype=jnp.complex64)
+    sufframe = jnp.concatenate([suffix, pad], axis=-1).reshape(
+        b, spec.frame_len)
+    # suffix of symbol s lands at (s+1)*sym_len: shift right by sym_len,
+    # drop the spill past frame_len
+    shifted = jnp.concatenate(
+        [jnp.zeros((b, spec.sym_len), jnp.complex64), sufframe],
+        axis=-1)[:, : spec.frame_len]
+    return main + shifted
 
 
 def ofdm_demodulate(spec: WaveformSpec, samples: jax.Array,

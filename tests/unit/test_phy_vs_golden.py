@@ -164,3 +164,29 @@ def test_mmse_eq_matches_golden_and_decodes():
     for i, gr in enumerate(gold):
         assert gr.crc_ok and np.array_equal(np.asarray(out["payload"])[i],
                                             gr.payload)
+
+
+def test_tx_windowing_matches_golden_and_decodes():
+    from ofdm_uhd_tpu.core.spec import config
+    from ofdm_uhd_tpu.golden import GoldenModem
+    from ofdm_uhd_tpu.pipeline import TxPipeline, RxPipeline
+    spec = config("c2").with_(tx_window=6)
+    r = rng_for("txwin")
+    p = r.integers(0, 2, (4, spec.payload_bits_per_frame)).astype(np.uint8)
+    fj = np.asarray(TxPipeline(spec)(p))
+    fg = GoldenModem(spec).tx(p)
+    np.testing.assert_allclose(fj, fg, atol=2e-5)
+    # windowing must not break demod (taper sits inside the discarded CP)
+    out = RxPipeline(spec).rx_aligned(fj)
+    assert np.asarray(out["crc_ok"]).all()
+    assert np.array_equal(np.asarray(out["payload"]), p)
+    # spectral benefit: out-of-band power drops vs unwindowed
+    spec0 = config("c2")
+    f0 = np.asarray(TxPipeline(spec0)(p))
+    def oob_power(sig):
+        s = np.fft.fft(sig[0] * np.hanning(len(sig[0])))
+        n = len(s)
+        # deepest guard-band region (around +-fs/2, far from occupied edge)
+        band = np.r_[n // 2 - n // 32 : n // 2 + n // 32]
+        return np.mean(np.abs(s[band]) ** 2)
+    assert oob_power(fj) < oob_power(f0) * 0.6
