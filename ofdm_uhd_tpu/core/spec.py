@@ -41,6 +41,14 @@ CONV_POLY_B = 0o171
 CRC_BITS = 32
 TAIL_BITS = CONV_K - 1  # flush encoder to the zero state
 
+# Puncturing patterns over the interleaved (a, b) output stream, per input
+# period: 1 = transmit, 0 = puncture (receiver re-inserts a zero LLR).
+PUNCTURE = {
+    "1/2": (np.array([1, 1], dtype=np.uint8), 1, 2),
+    "2/3": (np.array([1, 1, 1, 0], dtype=np.uint8), 2, 3),
+    "3/4": (np.array([1, 1, 1, 0, 0, 1], dtype=np.uint8), 3, 4),
+}
+
 
 def _default_occupied(n_sc: int) -> int:
     """~81% occupancy, multiple of 4: 64→52, 256→208, 1024→832."""
@@ -60,6 +68,7 @@ class WaveformSpec:
     pilot_offset: int = 6          # first pilot position among occupied bins
     resample_l: int = 1            # polyphase interpolation factor (TX → radio rate)
     resample_m: int = 1            # polyphase decimation factor (radio rate → RX)
+    fec_rate: str = "1/2"          # '1/2' | '2/3' | '3/4' (punctured K=7)
     chanest_smooth: int = 0        # odd MA window over occupied bins (0/1 = off)
     sfo_track: bool = False        # pilot phase-SLOPE tracking (SFO/timing drift)
     eq_mode: str = "zf"            # 'zf' | 'mmse' (noise var from guard bins)
@@ -69,6 +78,8 @@ class WaveformSpec:
     def __post_init__(self):
         if self.modulation not in MOD_BITS:
             raise ValueError(f"unknown modulation {self.modulation!r}")
+        if self.fec_rate not in PUNCTURE:
+            raise ValueError(f"unknown fec_rate {self.fec_rate!r}")
         if self.n_occupied == 0:
             object.__setattr__(self, "n_occupied", _default_occupied(self.n_sc))
         if self.n_occupied >= self.n_sc:
@@ -156,9 +167,11 @@ class WaveformSpec:
 
     @property
     def uncoded_bits_per_frame(self) -> int:
-        """Input length of the rate-1/2 encoder (payload + CRC + tail)."""
-        assert self.coded_bits_per_frame % 2 == 0
-        return self.coded_bits_per_frame // 2
+        """Input length of the (punctured) encoder (payload + CRC + tail)."""
+        _, num, den = PUNCTURE[self.fec_rate]
+        assert (self.coded_bits_per_frame * num) % den == 0, (
+            "frame geometry incompatible with FEC rate")
+        return self.coded_bits_per_frame * num // den
 
     @property
     def payload_bits_per_frame(self) -> int:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.spec import CONV_K, CONV_POLY_A, CONV_POLY_B
+from ..core.spec import CONV_K, CONV_POLY_A, CONV_POLY_B, PUNCTURE
 
 # ---------------------------------------------------------------- scrambler
 
@@ -179,6 +179,31 @@ def viterbi_decode(llr: np.ndarray) -> np.ndarray:
         bits[t] = (state >> 5) & 1
         state = ((state & 31) << 1) | decisions[t, state]
     return bits
+
+
+# ---------------------------------------------------------------- puncturing
+
+def puncture_mask(rate: str, full_len: int) -> np.ndarray:
+    """Boolean keep-mask over the encoder's interleaved (a,b) output."""
+    pat, _, _ = PUNCTURE[rate]
+    assert full_len % len(pat) == 0, "coded length incompatible with rate"
+    return np.tile(pat, full_len // len(pat)).astype(bool)
+
+
+def puncture(coded: np.ndarray, rate: str) -> np.ndarray:
+    """Drop the pattern's zero positions (rate 1/2 -> identity)."""
+    if rate == "1/2":
+        return coded
+    return coded[puncture_mask(rate, len(coded))]
+
+
+def depuncture_llr(llr: np.ndarray, rate: str, full_len: int) -> np.ndarray:
+    """Re-insert zero LLRs (erasures) at the punctured positions."""
+    if rate == "1/2":
+        return llr
+    out = np.zeros(full_len, dtype=llr.dtype)
+    out[puncture_mask(rate, full_len)] = llr
+    return out
 
 
 # ---------------------------------------------------------------- interleaver

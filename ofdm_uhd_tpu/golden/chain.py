@@ -50,6 +50,7 @@ class GoldenModem:
         body = B.scramble(np.concatenate([payload, crc]).astype(np.uint8))
         tail = np.zeros(TAIL_BITS, dtype=np.uint8)
         coded = B.conv_encode(np.concatenate([body, tail]))
+        coded = B.puncture(coded, spec.fec_rate)
         return B.interleave(coded, spec.coded_bits_per_sym)
 
     def modulate_frame(self, payload: np.ndarray) -> np.ndarray:
@@ -79,6 +80,8 @@ class GoldenModem:
         """interleaved coded-bit LLRs -> (payload bits, crc_ok)."""
         spec = self.spec
         llr_d = B.deinterleave_soft(llr, spec.coded_bits_per_sym)
+        llr_d = B.depuncture_llr(llr_d, spec.fec_rate,
+                                 2 * spec.uncoded_bits_per_frame)
         decoded = B.viterbi_decode(llr_d)
         body = B.descramble(decoded[: len(decoded) - TAIL_BITS])
         payload = body[: len(body) - CRC_BITS]

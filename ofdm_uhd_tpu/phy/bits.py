@@ -162,3 +162,22 @@ def deinterleave(bits: jax.Array, n_cbps: int) -> jax.Array:
 
 
 deinterleave_soft = deinterleave  # same gather, applied to LLRs
+
+
+# ---------------------------------------------------------------- puncturing
+
+def puncture(coded: jax.Array, rate: str) -> jax.Array:
+    """Drop punctured positions on [..., full] (static take)."""
+    if rate == "1/2":
+        return coded
+    t = T.puncture_tables(rate, coded.shape[-1])
+    return jnp.take(coded, jnp.asarray(t["kept"]), axis=-1)
+
+
+def depuncture_llr(llr: jax.Array, rate: str, full_len: int) -> jax.Array:
+    """Re-insert zero LLRs at punctured positions — one-hot matmul (the
+    scatter-free form; see phy/frame.py)."""
+    if rate == "1/2":
+        return llr
+    t = T.puncture_tables(rate, full_len)
+    return llr.astype(jnp.float32) @ jnp.asarray(t["depuncture"])

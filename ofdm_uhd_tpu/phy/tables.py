@@ -103,6 +103,16 @@ def frame_tables(spec: WaveformSpec) -> dict[str, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=32)
+def puncture_tables(rate: str, full_len: int) -> dict[str, np.ndarray]:
+    """(kept indices, depuncture one-hot [kept, full]) for a FEC rate."""
+    mask = GB.puncture_mask(rate, full_len)
+    kept = np.nonzero(mask)[0].astype(np.int32)
+    dep = np.zeros((len(kept), full_len), dtype=np.float32)
+    dep[np.arange(len(kept)), kept] = 1.0
+    return {"kept": kept, "depuncture": dep}
+
+
+@functools.lru_cache(maxsize=32)
 def selection_tables(spec: WaveformSpec) -> dict[str, np.ndarray]:
     """One-hot f32 selection matrices — the gather/scatter-free way to move
     symbols between bin orderings on TPU (MXU matmuls instead of scatter

@@ -93,6 +93,8 @@ def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
 def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Interleaved coded LLRs [B, coded] -> (payload [B, n], crc_ok [B])."""
     llr_d = PB.deinterleave_soft(llr, spec.coded_bits_per_sym)
+    llr_d = PB.depuncture_llr(llr_d, spec.fec_rate,
+                              2 * spec.uncoded_bits_per_frame)
     if spec.kernel_backend == "pallas":
         from ..kernels.pallas_viterbi import viterbi_pallas
         decoded = viterbi_pallas(llr_d)

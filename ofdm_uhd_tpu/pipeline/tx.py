@@ -41,6 +41,7 @@ def _encode(spec: WaveformSpec, payloads: jax.Array) -> jax.Array:
     body = PB.scramble(jnp.concatenate([payloads.astype(jnp.uint8), crc], axis=-1))
     tail = jnp.zeros(body.shape[:-1] + (TAIL_BITS,), dtype=jnp.uint8)
     coded = PB.conv_encode(jnp.concatenate([body, tail], axis=-1))
+    coded = PB.puncture(coded, spec.fec_rate)
     return PB.interleave(coded, spec.coded_bits_per_sym)
 
 

@@ -190,3 +190,28 @@ def test_tx_windowing_matches_golden_and_decodes():
         band = np.r_[n // 2 - n // 32 : n // 2 + n // 32]
         return np.mean(np.abs(s[band]) ** 2)
     assert oob_power(fj) < oob_power(f0) * 0.6
+
+
+@pytest.mark.parametrize("rate", ["2/3", "3/4"])
+def test_punctured_fec_loopback(rate):
+    """Punctured rates decode bit-exact at clean SNR, golden == JAX."""
+    from ofdm_uhd_tpu.core.spec import config, ChannelSpec
+    from ofdm_uhd_tpu.channel import apply_channel
+    from ofdm_uhd_tpu.pipeline import TxPipeline, RxPipeline
+    from ofdm_uhd_tpu.golden import GoldenModem
+    spec = config("c2").with_(fec_rate=rate)
+    assert spec.payload_bits_per_frame > config("c2").payload_bits_per_frame
+    r = rng_for("punct" + rate)
+    p = r.integers(0, 2, (6, spec.payload_bits_per_frame)).astype(np.uint8)
+    frames = np.asarray(TxPipeline(spec)(p))
+    gold_frames = GoldenModem(spec).tx(p)
+    np.testing.assert_allclose(frames, gold_frames, atol=2e-5)
+    ch = ChannelSpec(snr_db=24.0, multipath_taps=(1.0, 0.2 - 0.1j))
+    rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=i)
+                      for i in range(6)])
+    out = RxPipeline(spec, shift=4).rx_aligned(rx_in)
+    assert np.asarray(out["crc_ok"]).all()
+    assert np.array_equal(np.asarray(out["payload"]), p)
+    gold = GoldenModem(spec).rx_aligned(rx_in, shift=4)
+    assert all(g.crc_ok and np.array_equal(g.payload, pp)
+               for g, pp in zip(gold, p))
