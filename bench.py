@@ -110,8 +110,22 @@ def main():
         log(f"# device query failed: {e}")
     log(f"# capture: {len(cap)} samples, {n_frames} frames, device={device}")
 
+    # fast health gate: a wedged axon tunnel hangs even tiny ops — detect
+    # in 120s and fail over to CPU instead of burning the whole budget
+    healthy = False
+    signal.alarm(120)
+    try:
+        import jax.numpy as jnp
+        np.asarray(jax.jit(lambda v: v + 1.0)(jnp.arange(8.0)))
+        healthy = True
+    except Exception as e:
+        log(f"# health gate failed: {type(e).__name__}: {str(e)[:120]}")
+    finally:
+        signal.alarm(0)
+    log(f"# device healthy: {healthy}")
+
     best, best_name = 0.0, "none"
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "pallas") if healthy else ():
         try:
             sps, n_ok = bench_backend(spec, cap, payloads, backend)
             log(f"# {backend}: {sps/1e6:.1f} Msps ({n_ok}/{n_frames} ok)")
