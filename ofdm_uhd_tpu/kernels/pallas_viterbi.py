@@ -27,7 +27,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import conv_backend  # noqa: F401  (import order parity)
 from ..phy import tables as T
 
 

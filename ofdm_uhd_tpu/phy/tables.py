@@ -11,7 +11,7 @@ import functools
 
 import numpy as np
 
-from ..core.spec import (WaveformSpec, CONV_POLY_A, CONV_POLY_B, CONV_K,
+from ..core.spec import (WaveformSpec, CONV_POLY_A, CONV_POLY_B,
                          MOD_BITS)
 from ..golden import bits as GB
 from ..golden import modem as GM
