@@ -35,7 +35,8 @@ class StreamRx:
 
     def __init__(self, spec: WaveformSpec, mesh=None, chunk_len: int | None = None,
                  max_frames_per_shard: int | None = None,
-                 threshold: float = 0.5, pallas_halo: bool = False):
+                 threshold: float = 0.5, pallas_halo: bool = False,
+                 reshard: bool = False):
         if spec.resample_m != 1:
             raise NotImplementedError(
                 "streaming supports integer decimation (resample_m == 1)")
@@ -50,7 +51,7 @@ class StreamRx:
         self.radio_chunk = chunk_len * spec.resample_l  # input samples/step
         self._step, self.cb, self.h = make_stream_step(
             spec, self.mesh, chunk_len, max_frames_per_shard, threshold,
-            pallas_halo=pallas_halo)
+            pallas_halo=pallas_halo, reshard=reshard)
         self.state = StreamState.init(spec)
         self._buf = np.zeros(0, dtype=np.complex64)
 

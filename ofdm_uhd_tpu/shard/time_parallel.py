@@ -40,8 +40,48 @@ from ..phy import sync as PS
 from ..pipeline import rx as RXP
 
 
+def _slot_transpose(x, axis: str, t: int):
+    """Tiled all_to_all over the leading (frame-slot) dim.
+
+    With split_axis == concat_axis == 0 this is the (shard, chunk)
+    transpose Y[j][i] = X[i][j] — an involution, so applying it twice
+    restores the original layout exactly.
+    """
+    return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0,
+                              tiled=True)
+
+
+def _reshard_demod(spec: WaveformSpec, frames, axis: str, t: int,
+                   shift: int):
+    """Ulysses-analog reshard point (SURVEY.md §2.3): redistribute detected
+    frame slots from time-sharding to an even per-chip layout with
+    `all_to_all` before the demod/FEC stage, then invert the exchange on
+    the (tiny) per-frame outputs so downstream ownership accounting and
+    the sharded==unsharded invariant are untouched.
+
+    Detections cluster on whichever shard the frames landed in; demod —
+    Viterbi-dominated — is the expensive stage, so spreading the slots
+    balances it. Demod is per-frame pure, so compute placement cannot
+    change the numbers.
+    """
+    f = frames.shape[0]
+    f2 = -(-f // t) * t
+    pad = f2 - f
+
+    def padslots(a):
+        if not pad:
+            return a
+        z = jnp.zeros((pad,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, z])
+
+    out = RXP._demod_frames(spec, _slot_transpose(padslots(frames), axis, t),
+                            shift=shift)
+    return {k: _slot_transpose(v, axis, t)[:f] for k, v in out.items()}
+
+
 def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
                 threshold: float, ema: float, axis: str, pallas_halo: bool,
+                reshard: bool,
                 block, halo_fresh, state: StreamState):
     """Per-shard body inside shard_map.
 
@@ -74,7 +114,11 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
     k = PS.integer_cfo(spec, frames)
     eps = eps_f + k.astype(jnp.float32)
     frames = PS.cfo_correct(frames, eps - eps_f, spec.n_sc)
-    out = RXP._demod_frames(spec, frames, shift=min(4, spec.cp // 4))
+    shift = min(4, spec.cp // 4)
+    if reshard:
+        out = _reshard_demod(spec, frames, axis, t, shift)
+    else:
+        out = RXP._demod_frames(spec, frames, shift=shift)
     ok = out["crc_ok"] & owned
 
     # ---- pod-wide tracking (psum over the time axis) ----
@@ -130,7 +174,7 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
 def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
                      chunk_len: int, max_frames_per_shard: int | None = None,
                      threshold: float = 0.5, ema: float = 0.25,
-                     pallas_halo: bool = False):
+                     pallas_halo: bool = False, reshard: bool = False):
     """Build the jitted sharded streaming step.
 
     Returns (step, cb, h): step(state, chunk [chunk_len]) -> (state, outs);
@@ -148,7 +192,7 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
 
     body = functools.partial(_shard_step, spec, cb, h,
                              max_frames_per_shard, threshold, ema, "time",
-                             pallas_halo)
+                             pallas_halo, reshard)
 
     smapped = jax.shard_map(
         body, mesh=mesh,

@@ -63,6 +63,26 @@ def test_sharded_equals_single_device():
     assert int(np.asarray(rx1.state.crc_ok)) == 10
 
 
+def test_reshard_point_bit_exact():
+    """SURVEY.md §2.3 Ulysses-analog reshard: all_to_all load-balancing of
+    frame slots at the sync->demod boundary must not change a single bit —
+    the exchange is inverted on the per-frame outputs after demod."""
+    spec = config("c5")
+    cap, payloads = _make_stream(spec, 10, seed=1)
+    chunk = 8 * max(2 * (4032 + 256), 4 * spec.frame_len)
+    mesh = make_mesh(1, 8)
+    rx_r = StreamRx(spec, mesh=mesh, chunk_len=chunk, reshard=True)
+    fr = rx_r.process(cap) + rx_r.flush()
+    rx_p = StreamRx(spec, mesh=mesh, chunk_len=chunk)
+    fp = rx_p.process(cap) + rx_p.flush()
+    assert len(fr) == len(fp) == 10
+    for a, b in zip(fr, fp):
+        assert a.start == b.start
+        assert a.crc_ok and b.crc_ok
+        assert np.array_equal(a.payload, b.payload)
+        assert a.evm_db == b.evm_db
+
+
 def test_frames_straddling_all_boundaries():
     """Gap/offset chosen so frames land on shard and chunk boundaries."""
     spec = config("c5")
