@@ -9,6 +9,7 @@ import json
 import time
 
 import numpy as np
+from ..core import platform
 
 from . import config as C
 
@@ -40,7 +41,7 @@ def main(argv=None):
                      timing_offset=100 if args.mode != "aligned" else 0)
 
     if args.mode == "aligned":
-        frames = np.asarray(TxPipeline(spec)(payloads))
+        frames = platform.fetch(TxPipeline(spec)(payloads))
         rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=i)
                           for i in range(args.frames)])
         rx = RxPipeline(spec, shift=min(4, spec.cp // 4))

@@ -7,6 +7,7 @@ import argparse
 import sys
 
 import numpy as np
+from ..core import platform
 
 from . import config as C
 
@@ -36,7 +37,7 @@ def main(argv=None):
     payloads = rng.integers(
         0, 2, (args.frames, spec.payload_bits_per_frame)).astype(np.uint8)
     tx = TxPipeline(spec)
-    frames = np.asarray(tx(payloads))
+    frames = platform.fetch(tx(payloads))
 
     if args.sync:
         cap = make_capture(frames.astype(np.complex128), ch, spec.n_sc,

@@ -6,6 +6,7 @@ import argparse
 import sys
 
 import numpy as np
+from ..core import platform
 
 from . import config as C
 
@@ -28,7 +29,7 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     payloads = rng.integers(
         0, 2, (args.frames, spec.payload_bits_per_frame)).astype(np.uint8)
-    frames = np.asarray(TxPipeline(spec)(payloads))
+    frames = platform.fetch(TxPipeline(spec)(payloads))
     if args.gap:
         gapz = np.zeros((args.frames, args.gap), dtype=frames.dtype)
         frames = np.concatenate([frames, gapz], axis=1)

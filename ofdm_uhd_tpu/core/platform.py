@@ -25,3 +25,30 @@ def force_cpu() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def fetch(tree):
+    """Pytree device->host transfer that survives runtimes lacking complex
+    transfers.
+
+    The axon PJRT runtime returns UNIMPLEMENTED for any complex64
+    device->host copy (scripts/tpu_probe_transfer.py; quirk log in
+    docs/ARCHITECTURE.md) while bool/int/float copies and complex *compute*
+    work. Complex leaves are split into a stacked (2, ...) float array on
+    device — a trivial fused kernel — fetched as floats, and reassembled
+    on the host. All other leaves fetch directly.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    def leaf(x):
+        dt = getattr(x, "dtype", None)
+        if (isinstance(x, jax.Array) and dt is not None
+                and jnp.issubdtype(dt, jnp.complexfloating)):
+            pair = jax.jit(lambda v: jnp.stack([jnp.real(v), jnp.imag(v)]))(x)
+            h = np.asarray(pair)
+            return (h[0] + 1j * h[1]).astype(dt)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(leaf, tree)

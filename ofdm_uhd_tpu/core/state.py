@@ -77,7 +77,8 @@ class StreamState:
     def save(self, path: str) -> None:
         leaves, _ = jax.tree_util.tree_flatten(self)
         names = [f.name for f in dataclasses.fields(self)]
-        np.savez(path, **{n: np.asarray(v) for n, v in zip(names, leaves)})
+        from .platform import fetch
+        np.savez(path, **{n: fetch(v) for n, v in zip(names, leaves)})
 
     @classmethod
     def load(cls, path: str) -> "StreamState":

@@ -120,7 +120,8 @@ class CaptureWriter:
         self._parts: list[np.ndarray] = []
 
     def write_block(self, samples: np.ndarray) -> None:
-        self._parts.append(np.asarray(samples, dtype=np.complex64))
+        from ..core.platform import fetch
+        self._parts.append(fetch(samples).astype(np.complex64))
 
     def close(self) -> None:
         allsam = (np.concatenate(self._parts) if self._parts

@@ -62,8 +62,12 @@ def _to_baseband(spec: WaveformSpec, x: jax.Array) -> jax.Array:
     return y
 
 
-def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
-    """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len].
+def _frontend(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
+    """Symbol-domain front end: FFT -> chanest/EQ/CPE -> LLR demap.
+
+    Ends at the LLR boundary — the natural inter-stage payload for the
+    optional stage pipeline (shard/stage_pipeline.py): a fixed-shape f32
+    array, after which only bit-domain FEC/CRC work remains.
 
     jax.named_scope ranges per chain stage show up in profiler traces
     (SURVEY.md §5.1) at zero runtime cost.
@@ -78,16 +82,23 @@ def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
         csi = jnp.broadcast_to(PF.data_csi(spec, h)[:, None, :], data.shape)
         llr = PQ.qam_demap_llr(data, spec.modulation, csi=csi)
         llr = llr.reshape(-1, spec.coded_bits_per_frame)
-    with jax.named_scope("fec_decode"):
-        payload, crc_ok = _decode(spec, llr)
     hard_bits = PQ.qam_demap_hard(data, spec.modulation)
     ideal = PQ.qam_map(hard_bits, spec.modulation)
     err = jnp.mean(jnp.abs(data.reshape(data.shape[0], -1)
                            - ideal.reshape(data.shape[0], -1)) ** 2, axis=-1)
     ref = jnp.mean(jnp.abs(ideal.reshape(data.shape[0], -1)) ** 2, axis=-1)
     evm_db = 10.0 * jnp.log10(err / ref + 1e-30)
-    return {"payload": payload, "crc_ok": crc_ok, "evm_db": evm_db,
-            "data_syms": data, "cpe": cpe, "h": h}
+    return {"llr": llr, "evm_db": evm_db, "data_syms": data, "cpe": cpe,
+            "h": h}
+
+
+def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
+    """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len]."""
+    out = _frontend(spec, frames, shift)
+    with jax.named_scope("fec_decode"):
+        payload, crc_ok = _decode(spec, out.pop("llr"))
+    out.update({"payload": payload, "crc_ok": crc_ok})
+    return out
 
 
 def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:

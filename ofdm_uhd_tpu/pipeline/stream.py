@@ -123,7 +123,8 @@ class StreamRx:
     def save_state(self, path: str) -> None:
         """Checkpoint = StreamState leaves + the host-side chunk buffer."""
         import dataclasses as dc
-        leaves = {f.name: np.asarray(getattr(self.state, f.name))
+        from ..core.platform import fetch
+        leaves = {f.name: fetch(getattr(self.state, f.name))
                   for f in dc.fields(self.state)}
         np.savez(path, __buf__=self._buf, **leaves)
 

@@ -21,6 +21,14 @@ def make_mesh(n_frame: int = 1, n_time: int = 1,
     return jax.sharding.Mesh(grid, ("frame", "time"))
 
 
+def make_stage_mesh(n_stage: int = 2, devices=None) -> jax.sharding.Mesh:
+    """1-D ('stage',) mesh for the pipeline-parallel RX (stage_pipeline.py)."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    if len(devs) < n_stage:
+        raise ValueError(f"need {n_stage} devices, have {len(devs)}")
+    return jax.sharding.Mesh(devs[:n_stage], ("stage",))
+
+
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:

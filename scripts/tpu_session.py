@@ -90,9 +90,13 @@ def main():
                          ).astype(np.uint8)
         tx = TxPipeline(spec)
         frames = stage(f"{cfg} tx[{nfr}]", lambda: tx(p))
+        # axon quirk: complex64 device->host copies are UNIMPLEMENTED;
+        # fetch via stacked f32 planes (core.platform.fetch)
+        from ofdm_uhd_tpu.core.platform import fetch
+        frames_h = stage(f"{cfg} tx fetch", lambda: fetch(frames))
         ch = ChannelSpec(snr_db=25.0)
         rx_in = jax.device_put(np.stack([
-            apply_channel(np.asarray(frames)[i], ch, spec.n_sc, seed=i)
+            apply_channel(frames_h[i], ch, spec.n_sc, seed=i)
             for i in range(nfr)]).astype(np.complex64))
         rx = RxPipeline(spec)
         out = stage(f"{cfg} rx_aligned[{nfr}]", lambda: rx.rx_aligned(rx_in))
