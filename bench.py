@@ -60,9 +60,11 @@ def bench_backend(spec, cap, payloads, backend, iters=20, budget=900):
     import jax
     from ofdm_uhd_tpu.pipeline import RxPipeline
 
+    from ofdm_uhd_tpu.core.boundary import device_put_planar
+
     n_frames = len(payloads)
     rx = RxPipeline(spec.with_(kernel_backend=backend))
-    x = jax.device_put(cap)
+    x = device_put_planar(cap)
     signal.alarm(budget)
     try:
         out = rx.rx_capture(x, max_frames=n_frames + 2)

@@ -41,8 +41,13 @@ def fetch(tree):
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from .boundary import Planar, _is_planar
 
     def leaf(x):
+        if _is_planar(x):
+            h = np.asarray(x.pair)
+            return (h[0] + 1j * h[1]).astype(
+                np.complex64 if h.dtype == np.float32 else np.complex128)
         dt = getattr(x, "dtype", None)
         if (isinstance(x, jax.Array) and dt is not None
                 and jnp.issubdtype(dt, jnp.complexfloating)):
@@ -51,4 +56,4 @@ def fetch(tree):
             return (h[0] + 1j * h[1]).astype(dt)
         return np.asarray(x)
 
-    return jax.tree_util.tree_map(leaf, tree)
+    return jax.tree_util.tree_map(leaf, tree, is_leaf=_is_planar)

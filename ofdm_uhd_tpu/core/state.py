@@ -59,17 +59,20 @@ class StreamState:
     @classmethod
     def init(cls, spec: WaveformSpec) -> "StreamState":
         h = cls.halo_len(spec)
+        # host (numpy) zeros, NOT jnp: the initial state must be able to
+        # cross the executable boundary, and complex device arrays cannot
+        # on runtimes needing planarization (core/boundary.py)
         return cls(
-            tail=jnp.zeros(h, dtype=jnp.complex64),
-            rtail=jnp.zeros(cls.rtail_len(spec), dtype=jnp.complex64),
-            h_track=jnp.zeros(spec.n_occupied, dtype=jnp.complex64),
-            eps_track=jnp.zeros((), dtype=jnp.float32),
-            track_wt=jnp.zeros((), dtype=jnp.float32),
+            tail=np.zeros(h, dtype=np.complex64),
+            rtail=np.zeros(cls.rtail_len(spec), dtype=np.complex64),
+            h_track=np.zeros(spec.n_occupied, dtype=np.complex64),
+            eps_track=np.zeros((), dtype=np.float32),
+            track_wt=np.zeros((), dtype=np.float32),
             # int32 timebase: fine for CI and bench; enable jax_enable_x64
             # for >2G-sample production streams
-            samples=jnp.zeros((), dtype=jnp.int32),
-            frames=jnp.zeros((), dtype=jnp.int32),
-            crc_ok=jnp.zeros((), dtype=jnp.int32),
+            samples=np.zeros((), dtype=np.int32),
+            frames=np.zeros((), dtype=np.int32),
+            crc_ok=np.zeros((), dtype=np.int32),
         )
 
     # ---- checkpoint / resume (SURVEY.md §5.4) ----
@@ -83,5 +86,6 @@ class StreamState:
     @classmethod
     def load(cls, path: str) -> "StreamState":
         z = np.load(path)
-        kw = {f.name: jnp.asarray(z[f.name]) for f in dataclasses.fields(cls)}
+        # keep leaves host-side (see init)
+        kw = {f.name: z[f.name] for f in dataclasses.fields(cls)}
         return cls(**kw)

@@ -31,21 +31,26 @@ from ..phy import tables as T
 class RxPipeline:
     def __init__(self, spec: WaveformSpec, shift: int = 0,
                  sync_threshold: float = 0.5):
+        from ..core.boundary import jit_planar
         self.spec = spec
         self.shift = shift
         self.sync_threshold = sync_threshold
-        self._aligned = jax.jit(functools.partial(_rx_aligned, spec, shift))
-        self._capture = jax.jit(
+        self._aligned = jit_planar(functools.partial(_rx_aligned, spec, shift))
+        self._capture = jit_planar(
             functools.partial(_rx_capture, spec, sync_threshold),
             static_argnames=("max_frames",))
 
     def rx_aligned(self, frames: jax.Array) -> dict:
-        """frames [B, frame_len_radio] -> result dict (all [B, ...])."""
-        return self._aligned(jnp.asarray(frames))
+        """frames [B, frame_len_radio] -> result dict (all [B, ...]).
+
+        Complex inputs may be numpy or boundary.Planar pairs; complex
+        result leaves come back Planar on planarized runtimes (decode with
+        platform.fetch)."""
+        return self._aligned(frames)
 
     def rx_capture(self, capture: jax.Array, max_frames: int) -> dict:
         """capture [n] -> result dict with [max_frames, ...] slots + 'valid'."""
-        return self._capture(jnp.asarray(capture), max_frames=max_frames)
+        return self._capture(capture, max_frames=max_frames)
 
 
 def _to_baseband(spec: WaveformSpec, x: jax.Array) -> jax.Array:

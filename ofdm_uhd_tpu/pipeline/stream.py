@@ -64,6 +64,13 @@ class StreamRx:
         identically in single- and multi-process SPMD (SURVEY.md §5.8).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core import boundary
+        if boundary.needs_planar():
+            pair = np.ascontiguousarray(np.stack([chunk.real, chunk.imag]))
+            sh = NamedSharding(self.mesh, P(None, "time"))
+            arr = jax.make_array_from_callback(
+                (2, self.radio_chunk), sh, lambda idx: pair[idx])
+            return boundary.Planar(arr)
         sh = NamedSharding(self.mesh, P("time"))
         return jax.make_array_from_callback(
             (self.radio_chunk,), sh, lambda idx: chunk[idx])
@@ -130,9 +137,9 @@ class StreamRx:
 
     def load_state(self, path: str) -> None:
         import dataclasses as dc
-        import jax.numpy as jnp
         z = np.load(path)
-        kw = {f.name: jnp.asarray(z[f.name])
-              for f in dc.fields(StreamState)}
+        # host leaves: they cross the executable boundary on the next step
+        # (complex must not be device-resident there — core/boundary.py)
+        kw = {f.name: z[f.name] for f in dc.fields(StreamState)}
         self.state = StreamState(**kw)
         self._buf = z["__buf__"]

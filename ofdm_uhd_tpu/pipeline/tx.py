@@ -25,15 +25,18 @@ class TxPipeline:
     """payloads [B, payload_bits_per_frame] -> frames [B, frame_len_radio]."""
 
     def __init__(self, spec: WaveformSpec):
+        from ..core.boundary import jit_planar
         self.spec = spec
-        self._step = jax.jit(functools.partial(_tx_step, spec))
+        self._step = jit_planar(functools.partial(_tx_step, spec))
 
     def encode(self, payloads: jax.Array) -> jax.Array:
         """payloads -> interleaved coded bits [B, coded_bits_per_frame]."""
         return _encode(self.spec, payloads)
 
     def __call__(self, payloads: jax.Array) -> jax.Array:
-        return self._step(jnp.asarray(payloads))
+        """Returns frames [B, frame_len_radio] — as a boundary.Planar pair
+        on runtimes needing planarization (decode with platform.fetch)."""
+        return self._step(payloads)
 
 
 def _encode(spec: WaveformSpec, payloads: jax.Array) -> jax.Array:

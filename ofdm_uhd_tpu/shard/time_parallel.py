@@ -228,5 +228,19 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
         fresh = chunk[chunk_len - h:]
         return smapped(body_part, fresh, state)
 
+    from ..core import boundary
+    if boundary.needs_planar():
+        # complex-free executable signature (core/boundary.py): the chunk
+        # arrives as a Planar (2, C) pair sharded over time on dim 1; the
+        # carried state's complex leaves ride as Planar planes too.
+        pair_sh = boundary.Planar(NamedSharding(mesh, P(None, "time")))
+        jitted = jax.jit(boundary.planarize(step),
+                         in_shardings=(None, pair_sh))
+
+        def call(state, chunk):
+            return jitted(boundary.encode_host(state),
+                          boundary.encode_host(chunk))
+
+        return call, cb, h
     chunk_sharding = NamedSharding(mesh, P("time"))
     return jax.jit(step, in_shardings=(None, chunk_sharding)), cb, h

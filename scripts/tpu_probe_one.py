@@ -95,11 +95,42 @@ def main(name):
         s = float(jax.jit(lambda v: jnp.abs(v).sum())(dev))
         assert s > 0
 
+
+    def small_abs_4096():
+        c = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+             ).astype(np.complex64)
+        s = np.asarray(jax.jit(lambda v: jnp.abs(v) ** 2)(c))
+        assert s.shape == (4096,)
+
+    def planar_arg_4096():
+        # planar f32 in, complex inside, planar f32 out — the boundary rule
+        c = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+             ).astype(np.complex64)
+        pair = np.stack([c.real, c.imag])
+        def f(p):
+            v = p[0] + 1j * p[1]
+            w = v * jnp.exp(1j * 0.1) * 2.0
+            return jnp.stack([jnp.real(w), jnp.imag(w)])
+        h = np.asarray(jax.jit(f)(pair))
+        assert np.allclose(h[0] + 1j * h[1], c * np.exp(1j*0.1) * 2, atol=1e-5)
+
+    def planar_chain_4096():
+        # planar executable output -> next executable input (all f32)
+        c = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+             ).astype(np.complex64)
+        pair = np.stack([c.real, c.imag])
+        f1 = jax.jit(lambda p: jnp.stack([p[0] - p[1], p[0] + p[1]]))
+        f2 = jax.jit(lambda p: jnp.abs(p[0] + 1j * p[1]).sum())
+        s = float(f2(f1(pair)))
+        assert s > 0
+
     exps = dict(planar1=planar1, planar2=planar2, chain_c64=chain_c64,
                 devput_c64=devput_c64, f32_256k=f32_256k, f32_1p5m=f32_1p5m,
                 f32_4m=f32_4m, arange_1m=arange_1m, fetch_c64=fetch_c64,
                 small_abs_576=small_abs_576, small_abs_2048=small_abs_2048,
-                chain_c64_32k=chain_c64_32k, devput_c64_32k=devput_c64_32k)
+                chain_c64_32k=chain_c64_32k, devput_c64_32k=devput_c64_32k,
+                small_abs_4096=small_abs_4096, planar_arg_4096=planar_arg_4096,
+                planar_chain_4096=planar_chain_4096)
     t1 = time.time()
     try:
         exps[name]()
