@@ -45,7 +45,8 @@ def main(argv=None):
         rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=i)
                           for i in range(args.frames)])
         rx = RxPipeline(spec, shift=min(4, spec.cp // 4))
-        x = jax.device_put(rx_in)
+        from ..core.boundary import device_put_planar
+        x = device_put_planar(rx_in)
         run = lambda: rx.rx_aligned(x)
         n_samples = rx_in.size
     else:
@@ -54,7 +55,8 @@ def main(argv=None):
         cap = make_capture(fr, ch, spec.n_sc, gap=300,
                            seed=args.seed).astype(np.complex64)
         rx = RxPipeline(spec)
-        x = jax.device_put(cap)
+        from ..core.boundary import device_put_planar
+        x = device_put_planar(cap)
         run = lambda: rx.rx_capture(x, max_frames=args.frames + 2)
         n_samples = len(cap)
 
