@@ -32,7 +32,7 @@ from dataclasses import dataclass, replace
 
 import numpy as np
 
-MOD_BITS = {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6}
+MOD_BITS = {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6, "qam256": 8}
 
 # Convolutional code (industry-standard K=7 rate-1/2, same family 802.11a uses).
 CONV_K = 7
@@ -61,7 +61,7 @@ class WaveformSpec:
 
     n_sc: int = 64                 # FFT size
     cp: int = 16                   # cyclic prefix length (samples)
-    modulation: str = "qpsk"       # 'bpsk' | 'qpsk' | 'qam16' | 'qam64'
+    modulation: str = "qpsk"       # 'bpsk'|'qpsk'|'qam16'|'qam64'|'qam256'
     n_data_syms: int = 12          # data OFDM symbols per frame
     n_occupied: int = 0            # 0 → default (~81% of n_sc)
     pilot_spacing: int = 13        # pilots every k-th occupied bin

@@ -65,13 +65,11 @@ def main():
     # 1. sanity
     stage("sanity", lambda: jnp.arange(16.0).sum())
 
-    # 2. informational: raw complex jit args (expected FAIL on axon —
-    # every path below uses the planar boundary instead)
-    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
-         ).astype(np.complex64)
-    r = stage("raw_complex_arg[4096]",
-              lambda: jax.jit(lambda v: jnp.abs(v) ** 2)(x), fatal=False)
-    RESULTS["raw_complex_arg"] = r is not None
+    # NOTE: never run raw-complex-signature executables here — even when
+    # one "succeeds" it can poison the axon server for the next complex-
+    # adjacent executable (observed: tpu_session4.log's tx-fetch failure
+    # right after a passing raw_complex_arg stage; the identical planar tx
+    # graph passes in a clean process, scripts/tpu_bisect_tx2.py).
     big_1d_ok = True
 
     from ofdm_uhd_tpu.core.spec import config, ChannelSpec

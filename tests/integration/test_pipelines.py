@@ -113,3 +113,22 @@ def test_capture_rx_noise_only_no_false_detects():
     out = RxPipeline(spec).rx_capture(noise, max_frames=4)
     assert not np.asarray(out["valid"]).any()
     assert not np.asarray(out["crc_ok"]).any()
+
+
+def test_qam256_loopback_bit_exact():
+    """256-QAM end-to-end (dense constellation needs ~35+ dB SNR): TX ->
+    AWGN + multipath -> aligned RX, post-FEC bit-exact, JAX == golden."""
+    spec = config("c2").with_(modulation="qam256")
+    r = rng_for("q256")
+    p = payloads_for(spec, 12, r)
+    frames = np.asarray(TxPipeline(spec)(p))
+    ch = ChannelSpec(snr_db=40.0, multipath_taps=(1.0, 0.08 + 0.05j))
+    rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=90 + i)
+                      for i in range(12)])
+    out = RxPipeline(spec, shift=min(4, spec.cp // 4)).rx_aligned(rx_in)
+    assert np.asarray(out["crc_ok"]).all()
+    assert np.array_equal(np.asarray(out["payload"]), p)
+    gold = GoldenModem(spec).rx_aligned(rx_in)
+    assert all(g.crc_ok for g in gold)
+    assert np.array_equal(np.stack([g.payload for g in gold]),
+                          np.asarray(out["payload"]))

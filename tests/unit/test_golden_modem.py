@@ -13,7 +13,7 @@ from ofdm_uhd_tpu.channel import apply_channel, make_capture
 
 
 
-@pytest.mark.parametrize("mod", ["bpsk", "qpsk", "qam16", "qam64"])
+@pytest.mark.parametrize("mod", ["bpsk", "qpsk", "qam16", "qam64", "qam256"])
 def test_qam_roundtrip_and_power(mod):
     RNG = np.random.default_rng(zlib.crc32(b'test_qam_roundtrip_and_power') % 2**31)
     from ofdm_uhd_tpu.core.spec import MOD_BITS

@@ -66,7 +66,7 @@ def test_interleave_matches_golden():
     assert np.array_equal(back, b)
 
 
-@pytest.mark.parametrize("mod", ["bpsk", "qpsk", "qam16", "qam64"])
+@pytest.mark.parametrize("mod", ["bpsk", "qpsk", "qam16", "qam64", "qam256"])
 def test_qam_matches_golden(mod):
     from ofdm_uhd_tpu.core.spec import MOD_BITS
     r = rng_for("qam" + mod)
