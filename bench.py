@@ -55,7 +55,16 @@ def _build_capture(spec, n_frames, gap, seed=0):
     return cap.astype(np.complex64), payloads
 
 
-def bench_backend(spec, cap, payloads, backend, iters=20, budget=900):
+VARIANTS = {
+    # name -> spec overrides; bench keeps the fastest that passes the
+    # bit-exactness gate
+    "xla": {},
+    "xla-windowed-viterbi": {"viterbi_mode": "windowed"},
+    "pallas": {"kernel_backend": "pallas"},
+}
+
+
+def bench_backend(spec, cap, payloads, backend, iters=8, budget=1500):
     """Returns (Msamples/s, n_ok) or raises."""
     import jax
     from ofdm_uhd_tpu.pipeline import RxPipeline
@@ -63,7 +72,7 @@ def bench_backend(spec, cap, payloads, backend, iters=20, budget=900):
     from ofdm_uhd_tpu.core.boundary import device_put_planar
 
     n_frames = len(payloads)
-    rx = RxPipeline(spec.with_(kernel_backend=backend))
+    rx = RxPipeline(spec.with_(**VARIANTS[backend]))
     x = device_put_planar(cap)
     signal.alarm(budget)
     try:
@@ -103,7 +112,10 @@ def main():
     import jax
 
     spec = config("c3")
-    n_frames, gap = 32, 300
+    # large capture: the axon tunnel adds ~2.5 ms fixed dispatch latency
+    # per executable (tpu_session5.log kernel floor); ~556k samples per
+    # dispatch keeps it <3% of the measurement
+    n_frames, gap = 128, 300
     cap, payloads = _build_capture(spec, n_frames, gap)
     device = "unknown"
     try:
@@ -127,7 +139,7 @@ def main():
     log(f"# device healthy: {healthy}")
 
     best, best_name = 0.0, "none"
-    for backend in ("xla", "pallas") if healthy else ():
+    for backend in tuple(VARIANTS) if healthy else ():
         try:
             sps, n_ok = bench_backend(spec, cap, payloads, backend)
             log(f"# {backend}: {sps/1e6:.1f} Msps ({n_ok}/{n_frames} ok)")

@@ -74,12 +74,18 @@ class WaveformSpec:
     eq_mode: str = "zf"            # 'zf' | 'mmse' (noise var from guard bins)
     tx_window: int = 0             # raised-cosine edge taper (samples, < cp/2)
     kernel_backend: str = "xla"    # 'xla' | 'pallas'
+    viterbi_mode: str = "scan"     # 'scan' (exact sequential) | 'windowed'
+                                   # (sliding-window parallel, ~10x lower
+                                   # latency; exact when survivors merge
+                                   # within the 96-step overlap)
 
     def __post_init__(self):
         if self.modulation not in MOD_BITS:
             raise ValueError(f"unknown modulation {self.modulation!r}")
         if self.fec_rate not in PUNCTURE:
             raise ValueError(f"unknown fec_rate {self.fec_rate!r}")
+        if self.viterbi_mode not in ("scan", "windowed"):
+            raise ValueError(f"unknown viterbi_mode {self.viterbi_mode!r}")
         if self.n_occupied == 0:
             object.__setattr__(self, "n_occupied", _default_occupied(self.n_sc))
         if self.n_occupied >= self.n_sc:

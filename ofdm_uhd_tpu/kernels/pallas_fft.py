@@ -68,7 +68,11 @@ def _cmul(ar, ai, br, bi):
 
 
 def _cdot(ar, ai, br, bi):
-    mm = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: the MXU's default bf16 passes cost the FFT ~1e-2
+    # max error at N=64 (measured on-chip, tpu_session5.log); the 3-pass
+    # f32 emulation restores ~1e-6 and the op stays HBM-bound regardless.
+    mm = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
     return mm(ar, br) - mm(ai, bi), mm(ar, bi) + mm(ai, br)
 
 

@@ -126,7 +126,11 @@ def viterbi_decode(llr: jax.Array) -> jax.Array:
         pm_new = jnp.where(choice, c1, c0)
         return pm_new, choice
 
-    _, decisions = jax.lax.scan(acs, pm0, (la, lb))          # [n, B, 64] bool
+    # unroll: the ACS body is a handful of tiny VPU/MXU ops — per-iteration
+    # loop overhead dominates on TPU; unrolling 8 bodies per iteration lets
+    # XLA pipeline them (exact, just scheduling)
+    _, decisions = jax.lax.scan(acs, pm0, (la, lb),
+                                unroll=8)                    # [n, B, 64] bool
 
     states = jnp.arange(64, dtype=jnp.int32)
 
@@ -139,8 +143,106 @@ def viterbi_decode(llr: jax.Array) -> jax.Array:
         return state_new, bit
 
     state0 = jnp.zeros(bsz, dtype=jnp.int32)
-    _, bits_rev = jax.lax.scan(traceback, state0, decisions, reverse=True)
+    _, bits_rev = jax.lax.scan(traceback, state0, decisions, reverse=True,
+                               unroll=8)
     bits = bits_rev.T.astype(jnp.uint8)                      # [B, n]
+    return bits[0] if squeeze else bits
+
+
+def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
+                            overlap: int = 96) -> jax.Array:
+    """Windowed-parallel Viterbi: same decoder, ~10x less sequential depth.
+
+    The plain decoder's wall-clock on TPU is the scan LENGTH (thousands of
+    tiny latency-bound steps), not FLOPs. Standard sliding-window trick:
+    split the n trellis steps into W output windows of length `window`,
+    extend each by `overlap` true steps on both sides (clipped at the
+    sequence ends, where the exact boundary conditions apply instead), run
+    all windows' ACS in parallel (one scan of length E = window+2*overlap
+    over a [B, W, 64] metric tensor), and traceback each window from the
+    argmax state of its extension.
+
+    With overlap >= ~5 constraint lengths (here 96 >> 35) the survivor
+    paths merge before the output region, so the emitted bits equal the
+    full-sequence decode with overwhelming probability at any SNR where
+    decoding succeeds; disagreement is possible in adversarial noise where
+    the frame is garbage anyway (CRC gates it). Validated bit-exact vs
+    `viterbi_decode` in tests/unit and by the bench correctness gate.
+    """
+    vt = T.viterbi_tables()
+    pred = vt["pred"]
+    sign_a = 1.0 - 2.0 * jnp.asarray(vt["br_a"])
+    sign_b = 1.0 - 2.0 * jnp.asarray(vt["br_b"])
+    sel = np.zeros((2, 64, 64), dtype=np.float32)
+    for p_ in (0, 1):
+        sel[p_, pred[p_], np.arange(64)] = 1.0
+    m0, m1 = jnp.asarray(sel[0]), jnp.asarray(sel[1])
+
+    squeeze = llr.ndim == 1
+    if squeeze:
+        llr = llr[None]
+    bsz, n2 = llr.shape
+    n = n2 // 2
+    l, ov = window, overlap
+    if n <= l + 2 * ov:
+        out = viterbi_decode(llr)
+        return out[0] if squeeze else out
+    w = -(-n // l)
+    e = l + 2 * ov
+    starts = np.clip(np.arange(w) * l - ov, 0, n - e)        # [W] static
+    idx = starts[:, None] + np.arange(e)[None, :]            # [W, E] static
+
+    la = llr[:, 0::2].astype(jnp.float32)                    # [B, n]
+    lb = llr[:, 1::2].astype(jnp.float32)
+    law = la[:, idx].transpose(2, 0, 1)                      # [E, B, W]
+    lbw = lb[:, idx].transpose(2, 0, 1)
+
+    neg = jnp.float32(-1e30)
+    force0 = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                              jnp.full((63,), neg)])         # [64]
+    # window starting at true step 0 inherits the exact state-0 init;
+    # interior windows start uniform (unknown state, resolved by overlap)
+    init = jnp.where(jnp.asarray(starts == 0)[None, :, None],
+                     force0[None, None, :],
+                     jnp.zeros((1, 1, 64), jnp.float32))
+    pm0 = jnp.broadcast_to(init, (bsz, w, 64))
+
+    def acs(pm, inputs):
+        la_t, lb_t = inputs                                  # [B, W]
+        bm = 0.5 * (sign_a[None, None] * la_t[..., None, None]
+                    + sign_b[None, None] * lb_t[..., None, None])
+        c0 = pm @ m0 + bm[..., 0, :]                         # [B, W, 64]
+        c1 = pm @ m1 + bm[..., 1, :]
+        choice = c1 > c0
+        return jnp.where(choice, c1, c0), choice
+
+    pm_f, decisions = jax.lax.scan(acs, pm0, (law, lbw), unroll=4)
+
+    # window ending at true step n inherits the exact tail termination
+    # (state 0); interior windows take the best surviving state
+    pm_f = pm_f + jnp.where(jnp.asarray(starts + e == n)[None, :, None],
+                            force0[None, None, :], 0.0)
+    state_f = jnp.argmax(pm_f, axis=-1).astype(jnp.int32)    # [B, W]
+
+    states = jnp.arange(64, dtype=jnp.int32)
+
+    def traceback(state, dec_t):                             # state [B, W]
+        bit = (state >> 5) & 1
+        oh = states[None, None, :] == state[..., None]
+        d = jnp.sum(jnp.where(oh, dec_t, False), axis=-1)
+        return ((state & 31) << 1) | d.astype(jnp.int32), bit
+
+    _, bits_rev = jax.lax.scan(traceback, state_f, decisions, reverse=True,
+                               unroll=4)                     # [E, B, W]
+    bits_ebw = bits_rev.astype(jnp.uint8)
+
+    # each window owns slice [off, off+L) of its extension
+    off = (np.arange(w) * l - starts)                        # [W] static
+    out_idx = (off[:, None] + np.arange(l)[None, :])         # [W, L] static
+    bits_bwe = bits_ebw.transpose(1, 2, 0)                   # [B, W, E]
+    owned = jnp.take_along_axis(
+        bits_bwe, jnp.asarray(out_idx)[None], axis=2)        # [B, W, L]
+    bits = owned.reshape(bsz, w * l)[:, :n]
     return bits[0] if squeeze else bits
 
 

@@ -114,6 +114,8 @@ def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:
     if spec.kernel_backend == "pallas":
         from ..kernels.pallas_viterbi import viterbi_pallas
         decoded = viterbi_pallas(llr_d)
+    elif spec.viterbi_mode == "windowed":
+        decoded = PB.viterbi_decode_windowed(llr_d)
     else:
         decoded = PB.viterbi_decode(llr_d)
     body = PB.descramble(decoded[:, : decoded.shape[-1] - TAIL_BITS])

@@ -215,3 +215,41 @@ def test_punctured_fec_loopback(rate):
     gold = GoldenModem(spec).rx_aligned(rx_in, shift=4)
     assert all(g.crc_ok and np.array_equal(g.payload, pp)
                for g, pp in zip(gold, p))
+
+
+def test_viterbi_windowed_equals_scan():
+    """Windowed-parallel Viterbi == sequential scan decoder on real encoded
+    frames across SNRs (survivors merge within the 96-step overlap)."""
+    import jax.numpy as jnp
+    from ofdm_uhd_tpu.phy.bits import viterbi_decode, viterbi_decode_windowed
+    from ofdm_uhd_tpu.golden.bits import conv_encode as g_encode
+    r = rng_for("vitwin")
+    for snr_db in (0.0, 3.0, 8.0):
+        bits = r.integers(0, 2, (4, 3000)).astype(np.uint8)
+        coded = np.stack([g_encode(b) for b in bits]).astype(np.float64)
+        tx = 1.0 - 2.0 * coded
+        sigma = 10 ** (-snr_db / 20.0)
+        llr = (2.0 / sigma**2) * (tx + sigma * r.standard_normal(tx.shape))
+        llr = jnp.asarray(llr, dtype=jnp.float32)
+        a = np.asarray(viterbi_decode(llr))
+        b = np.asarray(viterbi_decode_windowed(llr))
+        assert np.array_equal(a, b), f"mismatch at {snr_db} dB"
+
+
+def test_viterbi_windowed_chain_bit_exact():
+    """Full RX chain with viterbi_mode='windowed' decodes bit-exactly."""
+    from ofdm_uhd_tpu.core.spec import ChannelSpec, config
+    from ofdm_uhd_tpu.channel import apply_channel
+    from ofdm_uhd_tpu.pipeline import RxPipeline, TxPipeline
+    spec = config("c3").with_(viterbi_mode="windowed")
+    r = rng_for("vitwin2")
+    p = r.integers(0, 2, (6, spec.payload_bits_per_frame)).astype(np.uint8)
+    frames = np.asarray(TxPipeline(spec)(p))
+    rx_in = np.stack([apply_channel(frames[i], ChannelSpec(snr_db=25.0),
+                                    spec.n_sc, seed=i) for i in range(6)])
+    out = RxPipeline(spec).rx_aligned(rx_in)
+    assert np.asarray(out["crc_ok"]).all()
+    assert np.array_equal(np.asarray(out["payload"]), p)
+    ref = RxPipeline(spec.with_(viterbi_mode="scan")).rx_aligned(rx_in)
+    assert np.array_equal(np.asarray(out["payload"]),
+                          np.asarray(ref["payload"]))
