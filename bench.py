@@ -83,6 +83,8 @@ def bench_backend(spec, cap, payloads, backend, iters=8, budget=1500):
         bits = np.asarray(out["payload"])[: n_frames]
         n_ok = int(crc.sum())
         exact = bool(np.array_equal(bits, payloads))
+        evm = float(np.mean(np.asarray(out["evm_db"])[: n_frames]))
+        log(f"# {backend}: EVM {evm:.1f} dB over {n_frames} frames")
         t0 = time.perf_counter()
         for _ in range(iters):
             out = rx.rx_capture(x, max_frames=n_frames + 2)

@@ -95,6 +95,13 @@ def viterbi_pallas(llr: jax.Array, tb: int = 8) -> jax.Array:
     m0, m1, sa, sb = _vit_consts()
     bsz, n2 = llr.shape
     n = n2 // 2
+    # VMEM budget: the [n, TB, 64] f32 decision scratch must fit on-chip
+    # (~16 MB/core). Past ~8 MB the Mosaic compile fails (observed as a
+    # remote-compile crash at C3's n=6912); hand off to the windowed XLA
+    # decoder, which has the same numerics and low sequential depth.
+    if n * tb * 64 * 4 > 8 * 1024 * 1024:
+        from ..phy.bits import viterbi_decode_windowed
+        return viterbi_decode_windowed(llr)
     la = llr[:, 0::2].astype(jnp.float32)
     lb = llr[:, 1::2].astype(jnp.float32)
     pad = (-bsz) % tb

@@ -80,7 +80,7 @@ def conv_encode(bits: jax.Array) -> jax.Array:
     return jnp.stack([out_a, out_b], axis=-1).reshape(bits.shape[:-1] + (2 * n,))
 
 
-def viterbi_decode(llr: jax.Array) -> jax.Array:
+def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
     """Soft-input Viterbi for the rate-1/2 K=7 code; batched.
 
     llr [B, 2n] (interleaved a/b, log P(0)/P(1)) -> bits [B, n].
@@ -130,7 +130,7 @@ def viterbi_decode(llr: jax.Array) -> jax.Array:
     # loop overhead dominates on TPU; unrolling 8 bodies per iteration lets
     # XLA pipeline them (exact, just scheduling)
     _, decisions = jax.lax.scan(acs, pm0, (la, lb),
-                                unroll=8)                    # [n, B, 64] bool
+                                unroll=unroll)               # [n, B, 64] bool
 
     states = jnp.arange(64, dtype=jnp.int32)
 
@@ -144,7 +144,7 @@ def viterbi_decode(llr: jax.Array) -> jax.Array:
 
     state0 = jnp.zeros(bsz, dtype=jnp.int32)
     _, bits_rev = jax.lax.scan(traceback, state0, decisions, reverse=True,
-                               unroll=8)
+                               unroll=unroll)
     bits = bits_rev.T.astype(jnp.uint8)                      # [B, n]
     return bits[0] if squeeze else bits
 
@@ -190,12 +190,16 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
     w = -(-n // l)
     e = l + 2 * ov
     starts = np.clip(np.arange(w) * l - ov, 0, n - e)        # [W] static
-    idx = starts[:, None] + np.arange(e)[None, :]            # [W, E] static
 
     la = llr[:, 0::2].astype(jnp.float32)                    # [B, n]
     lb = llr[:, 1::2].astype(jnp.float32)
-    law = la[:, idx].transpose(2, 0, 1)                      # [E, B, W]
-    lbw = lb[:, idx].transpose(2, 0, 1)
+    # gather-free windowing: starts are static, windows are contiguous ->
+    # W static slices (this backend miscompiles gathers; quirk log)
+    def windows(a):                                          # [B,n]->[E,B,W]
+        return jnp.stack([a[:, s:s + e] for s in starts],
+                         axis=2).transpose(1, 0, 2)
+    law = windows(la)
+    lbw = windows(lb)
 
     neg = jnp.float32(-1e30)
     force0 = jnp.concatenate([jnp.zeros(1, jnp.float32),
@@ -236,13 +240,12 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
                                unroll=4)                     # [E, B, W]
     bits_ebw = bits_rev.astype(jnp.uint8)
 
-    # each window owns slice [off, off+L) of its extension
-    off = (np.arange(w) * l - starts)                        # [W] static
-    out_idx = (off[:, None] + np.arange(l)[None, :])         # [W, L] static
+    # each window owns slice [off, off+L) of its extension — static slices
+    off = np.arange(w) * l - starts                          # [W] static
     bits_bwe = bits_ebw.transpose(1, 2, 0)                   # [B, W, E]
-    owned = jnp.take_along_axis(
-        bits_bwe, jnp.asarray(out_idx)[None], axis=2)        # [B, W, L]
-    bits = owned.reshape(bsz, w * l)[:, :n]
+    owned = jnp.concatenate(
+        [bits_bwe[:, wi, off[wi]:off[wi] + l] for wi in range(w)], axis=1)
+    bits = owned[:, :n]                                      # [B, n]
     return bits[0] if squeeze else bits
 
 
