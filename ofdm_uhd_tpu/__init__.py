@@ -19,3 +19,18 @@ Layer map (see SURVEY.md §1.2):
 """
 
 __version__ = "0.1.0"
+
+# Exact matmul/conv numerics by default. The MXU's default precision
+# rounds f32 operands to bf16, which (a) corrupted the Viterbi path
+# metrics outright (scripts/tpu_probe_vitwin4.py) and (b) puts a ~-48 dB
+# error floor under every one-hot selection matmul and FIR conv in the
+# chain (grid scatter, depuncture, integer-CFO search, polyphase). The
+# chain is latency/HBM-bound, not MXU-throughput-bound, so the 3-pass f32
+# emulation costs nothing measurable. Opt out (or pick another level) via
+# OFDM_MATMUL_PRECISION.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("OFDM_MATMUL_PRECISION", "highest"))

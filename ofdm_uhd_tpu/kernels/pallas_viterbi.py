@@ -35,21 +35,18 @@ def _interpret() -> bool:
 
 
 def _viterbi_kernel(n: int, tb: int,
-                    la_ref, lb_ref, m0_ref, m1_ref, sa_ref, sb_ref,
+                    la_ref, lb_ref, sa_ref, sb_ref,
                     bits_ref, dec_ref, pm_scr):
     """One batch tile: la/lb [TB, n], outputs bits [TB, n].
 
     dec_ref: VMEM scratch [n, TB, 64] decisions; pm_scr: [TB, 64] metrics.
     """
-    mm = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     neg = jnp.float32(-1e30)
     state_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, 64), 1)
     pm_scr[:] = jnp.where(state_iota == 0, 0.0, neg)
 
     sa = sa_ref[:]          # [2, 64] sign of output a per (pred, state)
     sb = sb_ref[:]
-    m0 = m0_ref[:]          # [64, 64] predecessor permutation, pred bit 0
-    m1 = m1_ref[:]
 
     def fwd(t, _):
         la_t = la_ref[:, t][:, None]                  # [TB, 1]
@@ -57,8 +54,13 @@ def _viterbi_kernel(n: int, tb: int,
         bm0 = 0.5 * (sa[0][None] * la_t + sb[0][None] * lb_t)   # [TB, 64]
         bm1 = 0.5 * (sa[1][None] * la_t + sb[1][None] * lb_t)
         pm = pm_scr[:]
-        c0 = mm(pm, m0) + bm0
-        c1 = mm(pm, m1) + bm1
+        # predecessor metrics via even/odd strided halves tiled twice
+        # (pred[p][s'] = ((s'<<1)|p) & 63) — exact f32 on the VPU; the MXU
+        # one-hot matmul's bf16 pass corrupts large path metrics
+        h0 = pm[:, 0::2]
+        h1 = pm[:, 1::2]
+        c0 = jnp.concatenate([h0, h0], axis=1) + bm0
+        c1 = jnp.concatenate([h1, h1], axis=1) + bm1
         choice = c1 > c0
         pm_scr[:] = jnp.where(choice, c1, c0)
         dec_ref[t] = choice.astype(jnp.float32)
@@ -81,18 +83,14 @@ def _viterbi_kernel(n: int, tb: int,
 @functools.lru_cache(maxsize=16)
 def _vit_consts():
     vt = T.viterbi_tables()
-    pred = vt["pred"]
-    sel = np.zeros((2, 64, 64), dtype=np.float32)
-    for p in (0, 1):
-        sel[p, pred[p], np.arange(64)] = 1.0
     sa = (1.0 - 2.0 * vt["br_a"]).astype(np.float32)
     sb = (1.0 - 2.0 * vt["br_b"]).astype(np.float32)
-    return sel[0], sel[1], sa, sb
+    return sa, sb
 
 
 def viterbi_pallas(llr: jax.Array, tb: int = 8) -> jax.Array:
     """Soft-input rate-1/2 K=7 Viterbi; llr [B, 2n] -> bits [B, n] uint8."""
-    m0, m1, sa, sb = _vit_consts()
+    sa, sb = _vit_consts()
     bsz, n2 = llr.shape
     n = n2 // 2
     # VMEM budget: the [n, TB, 64] f32 decision scratch must fit on-chip
@@ -117,8 +115,6 @@ def viterbi_pallas(llr: jax.Array, tb: int = 8) -> jax.Array:
         grid=(bt // tb,),
         in_specs=[
             spec_row, spec_row,
-            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=vmem),
-            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=vmem),
             pl.BlockSpec((2, 64), lambda i: (0, 0), memory_space=vmem),
             pl.BlockSpec((2, 64), lambda i: (0, 0), memory_space=vmem),
         ],
@@ -129,6 +125,5 @@ def viterbi_pallas(llr: jax.Array, tb: int = 8) -> jax.Array:
             pltpu.VMEM((tb, 64), jnp.float32),
         ],
         interpret=_interpret(),
-    )(la, lb, jnp.asarray(m0), jnp.asarray(m1), jnp.asarray(sa),
-      jnp.asarray(sb))
+    )(la, lb, jnp.asarray(sa), jnp.asarray(sb))
     return out[:bsz].astype(jnp.uint8)

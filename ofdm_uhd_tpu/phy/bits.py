@@ -80,6 +80,21 @@ def conv_encode(bits: jax.Array) -> jax.Array:
     return jnp.stack([out_a, out_b], axis=-1).reshape(bits.shape[:-1] + (2 * n,))
 
 
+def _pred_metric(pm: jax.Array, p: int) -> jax.Array:
+    """pm[..., pred[p][s']] for all 64 successor states s'.
+
+    The K=7 trellis has pred[p][s'] = ((s'<<1) | p) & 63, so the
+    predecessor metric vector is just the even (p=0) or odd (p=1) strided
+    half of pm tiled twice — a pure VPU reshuffle. NO matmul and NO
+    gather: the earlier one-hot-matmul form ran on the MXU, whose default
+    bf16 pass quantizes the growing path metrics (spacing 4 at |pm|~1e3)
+    and silently corrupts decodes on TPU (scripts/tpu_probe_vitwin4.py:
+    ~45% bit mismatch vs CPU); gathers miscompile on this backend.
+    """
+    h = pm[..., p::2]
+    return jnp.concatenate([h, h], axis=-1)
+
+
 def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
     """Soft-input Viterbi for the rate-1/2 K=7 code; batched.
 
@@ -89,18 +104,10 @@ def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
     VPU-wide selects). Trellis starts and ends in state 0 (tail-terminated).
     """
     vt = T.viterbi_tables()
-    pred = vt["pred"]                       # [2, 64] int32 (host)
     br_a = jnp.asarray(vt["br_a"])          # [2, 64] f32
     br_b = jnp.asarray(vt["br_b"])          # [2, 64] f32
     sign_a = 1.0 - 2.0 * br_a               # +1 for out 0, -1 for out 1
     sign_b = 1.0 - 2.0 * br_b
-    # predecessor selection as permutation matmuls (gather-free; the MXU
-    # eats 64x64 one-hot matmuls, while per-state gathers lower poorly):
-    # pm_pred[p][b, s'] = pm[b, pred[p, s']] = (pm @ M_p)[b, s']
-    sel = np.zeros((2, 64, 64), dtype=np.float32)
-    for p_ in (0, 1):
-        sel[p_, pred[p_], np.arange(64)] = 1.0
-    m0, m1 = jnp.asarray(sel[0]), jnp.asarray(sel[1])
 
     squeeze = llr.ndim == 1
     if squeeze:
@@ -120,8 +127,8 @@ def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
         la_t, lb_t = inputs                                  # [B], [B]
         bm = 0.5 * (sign_a[None] * la_t[:, None, None]
                     + sign_b[None] * lb_t[:, None, None])    # [B, 2, 64]
-        c0 = pm @ m0 + bm[:, 0]                              # [B, 64]
-        c1 = pm @ m1 + bm[:, 1]
+        c0 = _pred_metric(pm, 0) + bm[:, 0]                  # [B, 64]
+        c1 = _pred_metric(pm, 1) + bm[:, 1]
         choice = c1 > c0                                     # tie -> pred 0
         pm_new = jnp.where(choice, c1, c0)
         return pm_new, choice
@@ -170,13 +177,8 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
     `viterbi_decode` in tests/unit and by the bench correctness gate.
     """
     vt = T.viterbi_tables()
-    pred = vt["pred"]
     sign_a = 1.0 - 2.0 * jnp.asarray(vt["br_a"])
     sign_b = 1.0 - 2.0 * jnp.asarray(vt["br_b"])
-    sel = np.zeros((2, 64, 64), dtype=np.float32)
-    for p_ in (0, 1):
-        sel[p_, pred[p_], np.arange(64)] = 1.0
-    m0, m1 = jnp.asarray(sel[0]), jnp.asarray(sel[1])
 
     squeeze = llr.ndim == 1
     if squeeze:
@@ -215,8 +217,8 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
         la_t, lb_t = inputs                                  # [B, W]
         bm = 0.5 * (sign_a[None, None] * la_t[..., None, None]
                     + sign_b[None, None] * lb_t[..., None, None])
-        c0 = pm @ m0 + bm[..., 0, :]                         # [B, W, 64]
-        c1 = pm @ m1 + bm[..., 1, :]
+        c0 = _pred_metric(pm, 0) + bm[..., 0, :]             # [B, W, 64]
+        c1 = _pred_metric(pm, 1) + bm[..., 1, :]
         choice = c1 > c0
         return jnp.where(choice, c1, c0), choice
 
