@@ -92,8 +92,14 @@ class WaveformSpec:
             raise ValueError("n_occupied must leave room for guards and DC")
         if self.n_occupied % 2:
             raise ValueError("n_occupied must be even (symmetric spectrum)")
-        if self.cp >= self.n_sc:
-            raise ValueError("cp must be < n_sc")
+        if not (self.n_sc > 0 and (self.n_sc & (self.n_sc - 1)) == 0):
+            raise ValueError("n_sc must be a positive power of two")
+        if not 0 <= self.cp < self.n_sc:
+            raise ValueError("cp must satisfy 0 <= cp < n_sc")
+        if self.n_data_syms <= 0:
+            raise ValueError("n_data_syms must be positive")
+        if not 0 <= 2 * self.tx_window <= self.cp:
+            raise ValueError("tx_window must satisfy 0 <= 2*tx_window <= cp")
 
     # ---- derived geometry (cached; arrays are read-only numpy, host-side) ----
 

@@ -214,3 +214,13 @@ def test_awgn_qpsk_ber_matches_theory():
     lo = 0.5 * erfc(np.sqrt(ebn0_hi))
     hi = 0.5 * erfc(np.sqrt(ebn0_lo))
     assert lo * 0.8 <= ber <= hi * 1.2, (ber, ber_theory)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(cp=-1), dict(cp=64), dict(n_sc=100), dict(n_sc=0),
+    dict(n_data_syms=0), dict(tx_window=100), dict(modulation="qam7"),
+    dict(fec_rate="4/5"), dict(n_occupied=63), dict(n_occupied=64),
+])
+def test_spec_rejects_invalid_geometry(kw):
+    with pytest.raises(ValueError):
+        config("c1").with_(**kw)
