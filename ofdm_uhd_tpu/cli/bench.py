@@ -25,6 +25,7 @@ def main(argv=None):
                    help="write a jax.profiler trace (Perfetto) here")
     p.add_argument("--jsonl", default=None, help="append results to JSONL")
     args = p.parse_args(argv)
+    platform.honor_env()  # sitecustomize overrides JAX_PLATFORMS; re-apply caller intent
 
     import jax
     from ..core.spec import ChannelSpec
@@ -37,7 +38,10 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     payloads = rng.integers(
         0, 2, (args.frames, spec.payload_bits_per_frame)).astype(np.uint8)
-    ch = ChannelSpec(snr_db=28.0, cfo=0.8 if args.mode != "aligned" else 0.0,
+    # CFO is expressed in subcarrier spacings at BASEBAND; captures carry it
+    # at the radio rate, where the same per-sample ramp reads 1/L as large.
+    cfo_bb = 0.8 if args.mode != "aligned" else 0.0
+    ch = ChannelSpec(snr_db=28.0, cfo=cfo_bb / spec.resample_l,
                      timing_offset=100 if args.mode != "aligned" else 0)
 
     if args.mode == "aligned":
@@ -49,10 +53,12 @@ def main(argv=None):
         x = device_put_planar(rx_in)
         run = lambda: rx.rx_aligned(x)
         n_samples = rx_in.size
+    elif args.mode == "stream":
+        return _bench_stream(args, spec, payloads, ch)
     else:
         gm = GoldenModem(spec)
-        fr = np.stack([gm.modulate_frame(pp) for pp in payloads])
-        cap = make_capture(fr, ch, spec.n_sc, gap=300,
+        fr = platform.fetch(TxPipeline(spec)(payloads))  # radio rate
+        cap = make_capture(np.asarray(fr), ch, spec.n_sc, gap=300,
                            seed=args.seed).astype(np.complex64)
         rx = RxPipeline(spec)
         from ..core.boundary import device_put_planar
@@ -85,6 +91,50 @@ def main(argv=None):
         "frames_per_s": round(n_ok * args.iters / dt, 1),
         "frames_ok": n_ok, "frames": args.frames,
         "evm_db": round(float(np.mean(np.asarray(out["evm_db"]))), 2),
+    }
+    if args.jsonl:
+        JsonlLogger(args.jsonl).log(rec)
+    print(json.dumps(rec))
+
+
+def _bench_stream(args, spec, payloads, ch):
+    """Continuous-stream throughput: StreamRx over a radio-rate capture,
+    steady-state, counting input samples at the RADIO rate (the judged
+    frames/s + Msamples/s for C4/C5's streaming configurations)."""
+    import jax
+    from ..channel import make_capture
+    from ..metrics import JsonlLogger
+    from ..pipeline import TxPipeline
+    from ..pipeline.stream import StreamRx
+
+    fr = np.asarray(platform.fetch(TxPipeline(spec)(payloads)))
+    cap = make_capture(fr, ch, spec.n_sc, gap=300,
+                       seed=args.seed).astype(np.complex64)
+    rx = StreamRx(spec)
+    # pad the tail so every iteration feeds whole chunks (steady state)
+    pad = (-len(cap)) % rx.radio_chunk
+    cap = np.concatenate([cap, np.zeros(pad, np.complex64)])
+
+    got = rx.process(cap)                      # compile + warmup pass
+    t0 = time.perf_counter()
+    n_ok = 0
+    for _ in range(args.iters):
+        got = rx.process(cap)
+        n_ok += sum(g.crc_ok for g in got)
+    dt = time.perf_counter() - t0
+    got = rx.flush()
+    n_ok += sum(g.crc_ok for g in got)
+
+    sps = len(cap) * args.iters / dt
+    rec = {
+        "config": args.config, "mode": "stream",
+        "backend": spec.kernel_backend,
+        "device": jax.devices()[0].device_kind,
+        "n_devices": rx.mesh.size,
+        "chunk_len": rx.chunk_len,
+        "msamples_per_s": round(sps / 1e6, 3),
+        "frames_per_s": round(n_ok / dt, 1),
+        "frames_ok": n_ok, "frames": args.frames * args.iters,
     }
     if args.jsonl:
         JsonlLogger(args.jsonl).log(rec)

@@ -24,6 +24,7 @@ def main(argv=None):
     p.add_argument("--sync", action="store_true",
                    help="run the capture/sync RX path instead of aligned")
     args = p.parse_args(argv)
+    platform.honor_env()  # sitecustomize overrides JAX_PLATFORMS; re-apply caller intent
 
     from ..pipeline import TxPipeline, RxPipeline
     from ..channel import apply_channel, make_capture

@@ -14,6 +14,7 @@ import sys
 
 import numpy as np
 
+from ..core import platform
 from . import config as C
 
 
@@ -31,6 +32,7 @@ def main(argv=None):
     p.add_argument("--save-state", default=None, help="write state .npz at end")
     p.add_argument("--bits-out", default=None)
     args = p.parse_args(argv)
+    platform.honor_env()  # sitecustomize overrides JAX_PLATFORMS; re-apply caller intent
 
     import jax
     from ..io import read_capture

@@ -11,6 +11,7 @@ import sys
 
 import numpy as np
 
+from ..core import platform
 from . import config as C
 
 
@@ -26,6 +27,7 @@ def main(argv=None):
                    help="frames are back-to-back from sample 0 (loopback)")
     p.add_argument("--threshold", type=float, default=0.5)
     args = p.parse_args(argv)
+    platform.honor_env()  # sitecustomize overrides JAX_PLATFORMS; re-apply caller intent
 
     from ..pipeline import RxPipeline
     from ..io import read_capture

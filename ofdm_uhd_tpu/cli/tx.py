@@ -21,6 +21,7 @@ def main(argv=None):
     p.add_argument("--gap", type=int, default=0,
                    help="idle samples between frames")
     args = p.parse_args(argv)
+    platform.honor_env()  # sitecustomize overrides JAX_PLATFORMS; re-apply caller intent
 
     from ..pipeline import TxPipeline
     from ..io import write_capture

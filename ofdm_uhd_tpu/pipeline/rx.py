@@ -130,6 +130,9 @@ def _rx_aligned(spec: WaveformSpec, shift: int, frames: jax.Array) -> dict:
 
 def _rx_capture(spec: WaveformSpec, threshold: float, capture: jax.Array,
                 max_frames: int) -> dict:
+    pad = (-capture.shape[-1]) % spec.resample_l  # decimation needs n % L == 0
+    if pad:  # static: resolved at trace time
+        capture = jnp.pad(capture, (0, pad))
     capture = _to_baseband(spec, capture[None, :])[0]
     ds, eps_f, valid = PS.detect_frames(spec, capture, max_frames,
                                         threshold=threshold)
