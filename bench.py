@@ -126,18 +126,28 @@ def main():
         log(f"# device query failed: {e}")
     log(f"# capture: {len(cap)} samples, {n_frames} frames, device={device}")
 
-    # fast health gate: a wedged axon tunnel hangs even tiny ops — detect
-    # in 120s and fail over to CPU instead of burning the whole budget
+    # health gate with cold-boot allowance: a freshly booted axon tunnel
+    # takes ~400 s for its FIRST round trip (measured 2026-08-19: 396 s
+    # cold, then 1 s warm), while a wedged one hangs forever. Give the
+    # first attempt a cold-boot-sized budget, then one warm retry, before
+    # failing over to CPU.
     healthy = False
-    signal.alarm(120)
-    try:
-        import jax.numpy as jnp
-        np.asarray(jax.jit(lambda v: v + 1.0)(jnp.arange(8.0)))
-        healthy = True
-    except Exception as e:
-        log(f"# health gate failed: {type(e).__name__}: {str(e)[:120]}")
-    finally:
-        signal.alarm(0)
+    for attempt, budget in enumerate((480, 120)):
+        signal.alarm(budget)
+        t0 = time.perf_counter()
+        try:
+            import jax.numpy as jnp
+            np.asarray(jax.jit(lambda v: v + 1.0 + attempt)(jnp.arange(8.0)))
+            healthy = True
+        except Exception as e:
+            log(f"# health gate attempt {attempt} failed after "
+                f"{time.perf_counter() - t0:.0f}s: {type(e).__name__}: "
+                f"{str(e)[:120]}")
+        finally:
+            signal.alarm(0)
+        if healthy:
+            log(f"# health gate passed in {time.perf_counter() - t0:.0f}s")
+            break
     log(f"# device healthy: {healthy}")
 
     best, best_name = 0.0, "none"
