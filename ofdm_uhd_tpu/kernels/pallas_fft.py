@@ -12,12 +12,17 @@ Two regimes (chosen by N, both norm='ortho'):
   below the MXU roofline while the op stays HBM-bandwidth-bound — the
   matmul IS the fastest formulation, not a compromise.
 
-* N = 1024 (any N = N1*N2 with N1 = N2 = 32) — four-step Cooley-Tukey
-  inside one kernel: stage-1 32-point DFTs as a [TB*32, 32] @ [32, 32]
-  matmul, twiddle multiply, stage-2 likewise, with the classic transposes
-  done in VMEM. Derivation (n = N2*n1 + n2, k = k1 + N1*k2):
-      X[k1 + N1*k2] = sum_{n2} W_N^{n2 k1} W_{N2}^{n2 k2}
-                      * sum_{n1} x[N2*n1 + n2] W_{N1}^{n1 k1}
+* N = 1024 — the SAME direct matmul, column-blocked over the grid:
+  Y[:, j*C:(j+1)*C] = X @ F^T[:, j*C:(j+1)*C] with C = 256, so each grid
+  cell holds a [TB, N] input tile plus a [N, C] DFT slab in VMEM (~3 MB
+  with both planes) instead of the full 8 MB matrix. A four-step
+  Cooley-Tukey variant (stage-1/stage-2 32-point DFT matmuls with VMEM
+  transposes) was tried first and REJECTED on hardware: the in-register
+  [TB, 1024] -> [TB, 32, 32] reshape is an "unsupported shape cast" in
+  this Mosaic backend (and the fused variant exceeded its VMEM budget).
+  The O(N^2) FLOP premium is irrelevant here: at 8·N MAC/point the MXU
+  roofline is ~Gsamples/s, two decades above the chain's line rate, and
+  the op stays HBM-bound.
 
 Batch is padded to the tile size TB and tiled over the grid. Equality vs
 jnp.fft is asserted in tests/kernels/ (interpret mode on CPU, compiled on
@@ -48,25 +53,6 @@ def _dft_mats(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
     return ft.real.astype(np.float32), ft.imag.astype(np.float32)
 
 
-def _four_step_mats(n1: int, n2: int, inverse: bool):
-    sign = 2j if inverse else -2j
-    n = n1 * n2
-    a1 = np.arange(n1)
-    f1 = np.exp(sign * np.pi * np.outer(a1, a1) / n1) / np.sqrt(n)  # ortho folded here
-    a2 = np.arange(n2)
-    f2 = np.exp(sign * np.pi * np.outer(a2, a2) / n2)
-    tw = np.exp(sign * np.pi * np.outer(a2, a1) / n)                # W[n2, k1]
-    out = {}
-    out["f1t"] = (f1.T.real.astype(np.float32), f1.T.imag.astype(np.float32))
-    out["f2"] = (f2.real.astype(np.float32), f2.imag.astype(np.float32))
-    out["tw"] = (tw.real.astype(np.float32), tw.imag.astype(np.float32))
-    return out
-
-
-def _cmul(ar, ai, br, bi):
-    return ar * br - ai * bi, ar * bi + ai * br
-
-
 def _cdot(ar, ai, br, bi):
     # precision=HIGHEST: the MXU's default bf16 passes cost the FFT ~1e-2
     # max error at N=64 (measured on-chip, tpu_session5.log); the 3-pass
@@ -82,64 +68,28 @@ def _direct_kernel(xr, xi, fr, fi, yr, yi):
     yi[:] = ii
 
 
-def _four_step_kernel(n1: int, n2: int, tb: int,
-                      xr, xi, f1r, f1i, twr, twi, f2r, f2i, yr, yi):
-    # x [TB, N]: M[b, n1, n2] = x[b, N2*n1 + n2]
-    def stage(ar):
-        return ar.reshape(tb, n1, n2).transpose(0, 2, 1).reshape(tb * n2, n1)
-    mr, mi = stage(xr[:]), stage(xi[:])
-    # stage 1: rows (b, n2), contraction over n1 -> columns k1
-    br_, bi_ = _cdot(mr, mi, f1r[:], f1i[:])                 # [TB*n2, n1->k1]
-    br3 = br_.reshape(tb, n2, n1)
-    bi3 = bi_.reshape(tb, n2, n1)
-    cr, ci = _cmul(br3, bi3, twr[:][None], twi[:][None])     # twiddle [n2, k1]
-    # stage 2: rows (b, k1), contraction over n2 -> columns k2
-    cr2 = cr.transpose(0, 2, 1).reshape(tb * n1, n2)
-    ci2 = ci.transpose(0, 2, 1).reshape(tb * n1, n2)
-    xr2, xi2 = _cdot(cr2, ci2, f2r[:], f2i[:])               # [TB*k1, k2]
-    # k = k1 + n1*k2  ->  out[b, k2, k1]
-    yr[:] = xr2.reshape(tb, n1, n2).transpose(0, 2, 1).reshape(tb, n1 * n2)
-    yi[:] = xi2.reshape(tb, n1, n2).transpose(0, 2, 1).reshape(tb, n1 * n2)
-
-
 @functools.lru_cache(maxsize=32)
 def _build_fft(n: int, inverse: bool, tb: int):
     """Compiled pallas_call for one (N, direction, tile) combination."""
     vmem = pltpu.VMEM
-    if n <= 512:
-        fr, fi = _dft_mats(n, inverse)
-        consts = (fr, fi)
-        kernel = _direct_kernel
-        const_specs = [pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=vmem)] * 2
-    else:
-        n1 = 1 << ((n.bit_length() - 1) // 2)
-        n2 = n // n1
-        mats = _four_step_mats(n1, n2, inverse)
-        consts = (*mats["f1t"], *mats["tw"], *mats["f2"])
-        kernel = functools.partial(_four_step_kernel, n1, n2, tb)
-        const_specs = [
-            pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=vmem),
-            pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=vmem),
-            pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=vmem),
-            pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=vmem),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=vmem),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=vmem),
-        ]
-
-    data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=vmem)
+    fr, fi = _dft_mats(n, inverse)
+    nc = n if n <= 512 else 256          # DFT-matrix column tile (VMEM bound)
+    const_spec = pl.BlockSpec((n, nc), lambda i, j: (0, j), memory_space=vmem)
+    in_spec = pl.BlockSpec((tb, n), lambda i, j: (i, 0), memory_space=vmem)
+    out_spec = pl.BlockSpec((tb, nc), lambda i, j: (i, j), memory_space=vmem)
 
     def run(xr, xi):
         b = xr.shape[0]
-        grid = (b // tb,)
+        grid = (b // tb, n // nc)
         return pl.pallas_call(
-            kernel,
+            _direct_kernel,
             grid=grid,
-            in_specs=[data_spec, data_spec, *const_specs],
-            out_specs=(data_spec, data_spec),
+            in_specs=[in_spec, in_spec, const_spec, const_spec],
+            out_specs=(out_spec, out_spec),
             out_shape=(jax.ShapeDtypeStruct((b, n), jnp.float32),
                        jax.ShapeDtypeStruct((b, n), jnp.float32)),
             interpret=_interpret(),
-        )(xr, xi, *[jnp.asarray(c) for c in consts])
+        )(xr, xi, jnp.asarray(fr), jnp.asarray(fi))
 
     return run
 
