@@ -13,8 +13,10 @@ Semantics (matching shard/time_parallel._shard_step):
   shard i+1's head. Shard t-1 receives nothing (the caller substitutes the
   fresh chunk tail); shard 0 sends nothing off the mesh edge.
 
-Complex samples travel as bitcast f32 pairs (DMA is dtype-agnostic, but
-Pallas TPU refs are happier in f32).
+Complex samples travel as stacked (2, H) f32 planes: bitcast_convert_type
+on complex64 crashes every runtime tried (r1 VERDICT item 4), and this
+environment's PJRT runtime cannot carry complex across executable
+boundaries anyway (core/boundary.py) — planar f32 is the uniform answer.
 """
 
 from __future__ import annotations
@@ -64,11 +66,10 @@ def halo_from_right_pallas(head: jax.Array, time_axis: str = "time",
     neighbour's head (zeros on the last shard). RDMA equivalent of
     lax.ppermute(head, time_axis, [(i, i-1)])."""
     h = head.shape[-1]
-    planes = jax.lax.bitcast_convert_type(head, jnp.float32)  # [h, 2]
-    planes = planes.reshape(1, 2 * h)
+    planes = jnp.stack([jnp.real(head), jnp.imag(head)]).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_halo_kernel, time_axis, frame_axis),
-        out_shape=jax.ShapeDtypeStruct((1, 2 * h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, h), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
@@ -76,8 +77,7 @@ def halo_from_right_pallas(head: jax.Array, time_axis: str = "time",
             has_side_effects=True, collective_id=7),
         interpret=interpret,
     )(planes)
-    halo = jax.lax.bitcast_convert_type(
-        out.reshape(h, 2), jnp.complex64)
+    halo = jax.lax.complex(out[0], out[1])
     t = jax.lax.axis_size(time_axis)
     idx = jax.lax.axis_index(time_axis)
     return jnp.where(idx == t - 1, jnp.zeros_like(halo), halo)

@@ -1,20 +1,38 @@
-"""K6: fused Pallas Viterbi decoder — the chain's FLOP hot spot.
+"""K6: fused Pallas Viterbi decoder — the chain's sequential hot spot.
 
-The XLA path runs the 64-state ACS as a lax.scan of tiny [B,64]@[64,64]
-matmuls — n trellis steps of microscopic dispatches. This kernel fuses the
-WHOLE decode (forward ACS + reverse traceback) into one Pallas program per
-batch tile: path metrics and decisions stay VMEM-resident, the per-step
-work is two 64-wide FMAs + selects on the VPU (the permutation matmuls
-degenerate to static row reorders done via precomputed one-hot matmuls on
-the MXU), and nothing round-trips HBM between steps.
+The XLA path runs the 64-state ACS as a lax.scan of tiny steps; through
+this environment's backend each scan iteration costs ~19-70 us of fixed
+overhead, so trellis wall-clock is pure loop latency. This kernel fuses
+the WHOLE decode (forward ACS + reverse traceback) into one Pallas program
+per tile: path metrics and decisions stay VMEM-resident and the per-step
+work is two one-hot MXU matmuls + VPU selects, with no per-step dispatch.
 
-Matches phy.bits.viterbi_decode (and the golden decoder) bit-for-bit:
-same branch metrics, same strict-'>' tie-break, same tail-terminated
-traceback from state 0.
+One kernel covers both shapes of the problem:
+  * whole-sequence decode = a single window with first=tail=1 (exact
+    state-0 boundary conditions at both ends);
+  * windowed-parallel decode (flagship sizes, e.g. C3 n=6912) = sliding
+    windows with per-window first/tail flags, the same overlap semantics
+    as phy.bits.viterbi_decode_windowed.
 
-Decisions storage: [n, 64] f32 per row would be 64x the bits needed, but
-VMEM is ample at our n (<= ~2300 steps: n*64*4B*TB ~ 4.7MB at TB=8) and f32
-keeps every op in native VPU form.
+Mosaic lowering rules this backend enforces (probed on-chip 2026-08-20):
+  * NO dynamic indexing of the lane (last) dim of a ref — time must be the
+    SUBLANE-major dim, so la/lb/bits travel as [E, rows] and decisions as
+    [E, sub, 64] indexed on dim 0;
+  * NO strided lane slices (pm[:, 0::2] is an unsupported gather) — the
+    predecessor shuffle pred[p][s'] = ((s'<<1)|p) & 63 is a ONE-HOT MATMUL
+    at precision=HIGHEST (exact: each output is a single f32 product; the
+    default bf16 pass would truncate path metrics);
+  * NO lane-dim argmax (Mosaic internal error) — best-final-state search
+    is max + masked min-iota (same first-index tie-break as jnp.argmax);
+  * block lane dims must be divisible by 128 — row tiles are 128 wide, and
+    the kernel loops over SUB-BATCHES of `sub` rows so the [E, sub, 64]
+    decision scratch stays inside VMEM.
+
+Matches phy.bits.viterbi_decode / viterbi_decode_windowed (and the golden
+decoder) bit-for-bit on every decodable input: same branch metrics, same
+strict-'>' tie-break, same boundary conditions. (The default Pallas window
+geometry 256/64 differs from the XLA 512/96 — outputs can differ only on
+undecodable garbage where survivor paths fail to merge; CRC gates those.)
 """
 
 from __future__ import annotations
@@ -29,55 +47,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..phy import tables as T
 
+_TR = 128          # row tile (block lane dim; must be 128-divisible)
+_SUB = 32          # rows processed per decision-scratch pass
+_BIG = jnp.float32(2048.0)   # LLR certainty for bit-0 padding steps
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _viterbi_kernel(n: int, tb: int,
-                    la_ref, lb_ref, sa_ref, sb_ref,
-                    bits_ref, dec_ref, pm_scr):
-    """One batch tile: la/lb [TB, n], outputs bits [TB, n].
+_MM = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
 
-    dec_ref: VMEM scratch [n, TB, 64] decisions; pm_scr: [TB, 64] metrics.
-    """
-    neg = jnp.float32(-1e30)
-    state_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, 64), 1)
-    pm_scr[:] = jnp.where(state_iota == 0, 0.0, neg)
 
-    sa = sa_ref[:]          # [2, 64] sign of output a per (pred, state)
-    sb = sb_ref[:]
-
-    def fwd(t, _):
-        la_t = la_ref[:, t][:, None]                  # [TB, 1]
-        lb_t = lb_ref[:, t][:, None]
-        bm0 = 0.5 * (sa[0][None] * la_t + sb[0][None] * lb_t)   # [TB, 64]
-        bm1 = 0.5 * (sa[1][None] * la_t + sb[1][None] * lb_t)
-        pm = pm_scr[:]
-        # predecessor metrics via even/odd strided halves tiled twice
-        # (pred[p][s'] = ((s'<<1)|p) & 63) — exact f32 on the VPU; the MXU
-        # one-hot matmul's bf16 pass corrupts large path metrics
-        h0 = pm[:, 0::2]
-        h1 = pm[:, 1::2]
-        c0 = jnp.concatenate([h0, h0], axis=1) + bm0
-        c1 = jnp.concatenate([h1, h1], axis=1) + bm1
-        choice = c1 > c0
-        pm_scr[:] = jnp.where(choice, c1, c0)
-        dec_ref[t] = choice.astype(jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, n, fwd, 0)
-
-    def bwd(i, state):
-        t = n - 1 - i
-        bit = (state >> 5) & 1                         # [TB, 1]
-        oh = (state_iota == state).astype(jnp.float32)  # [TB, 64] one-hot
-        d = jnp.sum(dec_ref[t] * oh, axis=1, keepdims=True)  # [TB, 1]
-        bits_ref[:, t] = bit[:, 0].astype(jnp.float32)
-        return ((state & 31) << 1) | d.astype(jnp.int32)
-
-    state0 = jnp.zeros((tb, 1), dtype=jnp.int32)
-    jax.lax.fori_loop(0, n, bwd, state0)
+@functools.lru_cache(maxsize=4)
+def _perm_mats() -> tuple[np.ndarray, np.ndarray]:
+    """P_p[s, s'] = 1 iff s = ((s'<<1)|p) & 63, so (pm @ P_p)[s'] is the
+    predecessor metric pm[pred[p][s']]."""
+    mats = []
+    for p in (0, 1):
+        m = np.zeros((64, 64), np.float32)
+        for sp in range(64):
+            m[((sp << 1) | p) & 63, sp] = 1.0
+        mats.append(m)
+    return mats[0], mats[1]
 
 
 @functools.lru_cache(maxsize=16)
@@ -88,42 +81,156 @@ def _vit_consts():
     return sa, sb
 
 
-def viterbi_pallas(llr: jax.Array, tb: int = 8) -> jax.Array:
-    """Soft-input rate-1/2 K=7 Viterbi; llr [B, 2n] -> bits [B, n] uint8."""
+def _vit_kernel(e: int, la_ref, lb_ref, first_ref, tail_ref,
+                sa_ref, sb_ref, p0_ref, p1_ref,
+                bits_ref, dec_ref, pm_scr):
+    """One tile of _TR independent windows: la/lb [e, _TR] -> bits [e, _TR].
+
+    first/tail [1, _TR] 0/1 flags: first=1 rows start pinned to state 0,
+    others uniform; tail=1 rows terminate in state 0, others trace back
+    from their best surviving state. Rows are processed _SUB at a time so
+    the [e, _SUB, 64] decision scratch fits VMEM.
+    """
+    neg = jnp.float32(-1e30)
+    state_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 64), 1)
+    sa, sb = sa_ref[:], sb_ref[:]
+    p0, p1 = p0_ref[:], p1_ref[:]
+
+    for sub in range(_TR // _SUB):
+        lo = sub * _SUB                               # static lane offset
+        first = first_ref[0, lo:lo + _SUB][:, None]   # [_SUB, 1]
+        tail = tail_ref[0, lo:lo + _SUB][:, None]
+        pm_scr[:] = jnp.where((state_iota != 0) & (first > 0.5), neg, 0.0)
+
+        def fwd(t, _):
+            la_t = la_ref[t, lo:lo + _SUB][:, None]
+            lb_t = lb_ref[t, lo:lo + _SUB][:, None]
+            pm = pm_scr[:]
+            bm0 = 0.5 * (sa[0][None] * la_t + sb[0][None] * lb_t)
+            bm1 = 0.5 * (sa[1][None] * la_t + sb[1][None] * lb_t)
+            c0 = _MM(pm, p0) + bm0
+            c1 = _MM(pm, p1) + bm1
+            choice = c1 > c0                          # tie -> pred 0
+            pm_scr[:] = jnp.where(choice, c1, c0)
+            dec_ref[t] = choice.astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, e, fwd, 0)
+
+        pm_f = pm_scr[:] + jnp.where((state_iota != 0) & (tail > 0.5),
+                                     neg, 0.0)
+        mx = jnp.max(pm_f, axis=1, keepdims=True)
+        state_f = jnp.min(jnp.where(pm_f >= mx, state_iota, 64), axis=1,
+                          keepdims=True).astype(jnp.int32)
+
+        def bwd(i, state):
+            t = e - 1 - i
+            bit = (state >> 5) & 1
+            oh = (state_iota == state).astype(jnp.float32)
+            d = jnp.sum(dec_ref[t] * oh, axis=1, keepdims=True)
+            bits_ref[t, lo:lo + _SUB] = bit[:, 0].astype(jnp.float32)
+            return ((state & 31) << 1) | d.astype(jnp.int32)
+
+        jax.lax.fori_loop(0, e, bwd, state_f)
+
+
+def _run_windows(law, lbw, first, tail, e: int) -> jax.Array:
+    """law/lbw [e, R] time-major rows + per-row flags [R] -> bits [e, R]."""
     sa, sb = _vit_consts()
-    bsz, n2 = llr.shape
-    n = n2 // 2
-    # VMEM budget: the [n, TB, 64] f32 decision scratch must fit on-chip
-    # (~16 MB/core). Past ~8 MB the Mosaic compile fails (observed as a
-    # remote-compile crash at C3's n=6912); hand off to the windowed XLA
-    # decoder, which has the same numerics and low sequential depth.
-    if n * tb * 64 * 4 > 8 * 1024 * 1024:
-        from ..phy.bits import viterbi_decode_windowed
-        return viterbi_decode_windowed(llr)
-    la = llr[:, 0::2].astype(jnp.float32)
-    lb = llr[:, 1::2].astype(jnp.float32)
-    pad = (-bsz) % tb
+    p0, p1 = _perm_mats()
+    r = law.shape[1]
+    pad = (-r) % _TR
     if pad:
-        z = jnp.zeros((pad, n), jnp.float32)
-        la = jnp.concatenate([la, z])
-        lb = jnp.concatenate([lb, z])
-    bt = la.shape[0]
+        z = jnp.zeros((e, pad), jnp.float32)
+        law = jnp.concatenate([law, z], axis=1)
+        lbw = jnp.concatenate([lbw, z], axis=1)
+        zf = np.zeros(pad, np.float32)
+        first = np.concatenate([first, zf])
+        tail = np.concatenate([tail, zf])
+    rt = law.shape[1]
     vmem = pltpu.VMEM
-    spec_row = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=vmem)
-    out = pl.pallas_call(
-        functools.partial(_viterbi_kernel, n, tb),
-        grid=(bt // tb,),
-        in_specs=[
-            spec_row, spec_row,
-            pl.BlockSpec((2, 64), lambda i: (0, 0), memory_space=vmem),
-            pl.BlockSpec((2, 64), lambda i: (0, 0), memory_space=vmem),
-        ],
-        out_specs=spec_row,
-        out_shape=jax.ShapeDtypeStruct((bt, n), jnp.float32),
+    spec_col = pl.BlockSpec((e, _TR), lambda i: (0, i), memory_space=vmem)
+    spec_flag = pl.BlockSpec((1, _TR), lambda i: (0, i), memory_space=vmem)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=vmem)
+    bits = pl.pallas_call(
+        functools.partial(_vit_kernel, e),
+        grid=(rt // _TR,),
+        in_specs=[spec_col, spec_col, spec_flag, spec_flag,
+                  full((2, 64)), full((2, 64)),
+                  full((64, 64)), full((64, 64))],
+        out_specs=spec_col,
+        out_shape=jax.ShapeDtypeStruct((e, rt), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n, tb, 64), jnp.float32),
-            pltpu.VMEM((tb, 64), jnp.float32),
+            pltpu.VMEM((e, _SUB, 64), jnp.float32),
+            pltpu.VMEM((_SUB, 64), jnp.float32),
         ],
         interpret=_interpret(),
-    )(la, lb, jnp.asarray(sa), jnp.asarray(sb))
-    return out[:bsz].astype(jnp.uint8)
+    )(law, lbw, jnp.asarray(first[None, :]), jnp.asarray(tail[None, :]),
+      jnp.asarray(sa), jnp.asarray(sb), jnp.asarray(p0), jnp.asarray(p1))
+    return bits[:, :r]
+
+
+def viterbi_pallas_windowed(llr: jax.Array, window: int = 256,
+                            overlap: int = 64) -> jax.Array:
+    """Windowed-parallel Viterbi, fused per-window in Pallas.
+
+    Same sliding-window construction as phy.bits.viterbi_decode_windowed
+    (geometry differs: 256/64 vs 512/96 — chosen so the [E, _SUB, 64]
+    decision scratch stays small; overlap 64 >> 5 constraint lengths, so
+    survivor merge is just as safe). Each window's whole ACS + traceback
+    runs inside ONE Pallas program with VMEM-resident decisions.
+    """
+    bsz, n2 = llr.shape
+    n = n2 // 2
+    l, ov = window, overlap
+    e = l + 2 * ov
+    if n <= e:
+        return viterbi_pallas(llr)
+    w = -(-n // l)
+    starts = np.clip(np.arange(w) * l - ov, 0, n - e)        # [W] static
+
+    la = llr[:, 0::2].astype(jnp.float32)                    # [B, n]
+    lb = llr[:, 1::2].astype(jnp.float32)
+
+    # [B, n] -> [E, B*W] rows, time sublane-major (static slices only)
+    def rows(a):
+        return jnp.stack([a[:, s:s + e] for s in starts],
+                         axis=1).reshape(bsz * w, e).T
+    law, lbw = rows(la), rows(lb)
+    first = np.tile((starts == 0).astype(np.float32), bsz)   # [B*W]
+    tail = np.tile((starts + e == n).astype(np.float32), bsz)
+
+    bits = _run_windows(law, lbw, first, tail, e)
+    bits_bwe = bits.T.reshape(bsz, w, e)
+    off = np.arange(w) * l - starts                          # [W] static
+    owned = jnp.concatenate(
+        [bits_bwe[:, wi, off[wi]:off[wi] + l] for wi in range(w)], axis=1)
+    return owned[:, :n].astype(jnp.uint8)
+
+
+def viterbi_pallas(llr: jax.Array) -> jax.Array:
+    """Soft-input rate-1/2 K=7 Viterbi; llr [B, 2n] -> bits [B, n] uint8.
+
+    Whole-sequence fused decode when the decision scratch fits VMEM
+    (n <= ~1.5k); otherwise the windowed-parallel kernel. The trellis is
+    padded to a multiple of 8 steps (sublane constraint) with
+    certainty-of-zero LLRs: the encoder is tail-terminated in state 0, and
+    appended zero-input steps keep the optimal path in state 0, so the
+    decisions for the true steps are unchanged and the pad bits are
+    dropped.
+    """
+    bsz, n2 = llr.shape
+    n = n2 // 2
+    e = -(-n // 8) * 8
+    if e * _SUB * 64 * 4 > 6 * 1024 * 1024:
+        return viterbi_pallas_windowed(llr)
+    la = llr[:, 0::2].astype(jnp.float32).T      # [n, B] time sublane-major
+    lb = llr[:, 1::2].astype(jnp.float32).T
+    if e != n:
+        padrows = jnp.full((e - n, bsz), _BIG, jnp.float32)
+        la = jnp.concatenate([la, padrows])
+        lb = jnp.concatenate([lb, padrows])
+    ones = np.ones(bsz, np.float32)
+    bits = _run_windows(la, lb, ones, ones, e)
+    return bits[:n].T.astype(jnp.uint8)

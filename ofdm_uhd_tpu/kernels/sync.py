@@ -6,11 +6,15 @@ Replaces the reference-class per-sample C++ correlator hot loop
     P(d) = sum_{m=0}^{L-1} conj(r[d+m]) * r[d+m+L]
     R(d) = 0.5 * sum_{m=0}^{2L-1} |r[d+m]|^2
 
-XLA backend: the windowed sums are boxcar (ones-kernel) convolutions of the
-lag product s[n] = conj(r[n])*r[n+L] and the energy |r|^2 — NOT prefix-sum
-differences: long f32 cumsums lose precision, and this environment's TPU
-backend does not implement the large-N cumsum lowering at all. The conv
-form is also the shape the Pallas kernel (M3) takes.
+XLA backend: the windowed sums are computed by PAIRWISE DOUBLING —
+S_2w[d] = S_w[d] + S_w[d+w], log2(win) shifted adds of contiguous slices —
+NOT prefix-sum differences (long f32 cumsums lose precision and this
+environment's TPU backend lacks the large-N cumsum lowering) and NOT a
+boxcar conv_general_dilated (a C=1 1-D conv runs at ~1.5 GFLOP/s on this
+backend — measured 385 ms for the C3 capture, the round-1 chain
+bottleneck; the doubling form is 7 fused slice+adds, HBM-bound, <1 ms).
+The pairwise tree also carries LESS rounding error than the sequential
+conv order.
 
 Golden twin: golden.sync.sc_metric (float64 cumsum form).
 """
@@ -22,14 +26,32 @@ import jax.numpy as jnp
 
 
 def _moving_sum(x: jax.Array, win: int) -> jax.Array:
-    """Valid-mode boxcar: y[..., d] = sum_{m<win} x[..., d+m], len n-win+1."""
-    shape = x.shape
-    flat = x.reshape(-1, 1, shape[-1]).astype(jnp.float32)
-    k = jnp.ones((1, 1, win), dtype=jnp.float32)
-    y = jax.lax.conv_general_dilated(
-        flat, k, window_strides=(1,), padding=[(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"))
-    return y[:, 0, :].reshape(shape[:-1] + (-1,))
+    """Valid-mode boxcar: y[..., d] = sum_{m<win} x[..., d+m], len n-win+1.
+
+    Pairwise doubling over the binary decomposition of `win`: maintain
+    S_w (window-w sums) by doubling, and fold in the powers present in
+    `win` at their running offsets. For power-of-two windows (the S&C
+    case: L = n_sc/2) this is exactly log2(win) shifted adds.
+    """
+    n = x.shape[-1]
+    out_len = n - win + 1
+    s = x.astype(jnp.float32)       # S_1
+    w = 1
+    acc = None
+    off = 0                          # samples already covered by acc
+    rem = win
+    while rem:
+        if rem & 1:
+            part = jax.lax.slice_in_dim(s, off, off + out_len, axis=-1)
+            acc = part if acc is None else acc + part
+            off += w
+        rem >>= 1
+        if rem:
+            half = jax.lax.slice_in_dim(s, 0, s.shape[-1] - w, axis=-1)
+            shift = jax.lax.slice_in_dim(s, w, s.shape[-1], axis=-1)
+            s = half + shift         # S_2w
+            w *= 2
+    return acc
 
 
 def sc_correlate(r: jax.Array, l: int, backend: str = "xla"

@@ -41,12 +41,44 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     span = spec.sym_len
     # pad so dynamic_slice windows never clamp
     m_pad = jnp.concatenate([m, jnp.zeros(span, m.dtype)])
-    idx = jnp.arange(nd, dtype=jnp.int32)
+
+    # Hierarchical first-crossing search (VERDICT r1 item 1a): the naive
+    # slot body masked + argmax'd the FULL metric (O(nd) per slot, ~130
+    # sequential full-capture passes — it dominated the chain wall-clock).
+    # Precompute per-block occupancy once; each slot then searches its
+    # partial start block (O(blk)) plus the block summary (O(nb)).
+    # Bit-identical to the flat search: the first above-threshold index
+    # >= pos is either in pos's own block or is the first occupied block
+    # after it.
+    blk = 512
+    nb = -(-nd // blk)
+    above = jnp.concatenate(
+        [m >= threshold, jnp.zeros(nb * blk - nd, dtype=bool)])
+    ab = above.reshape(nb, blk)
+    block_any = jnp.any(ab, axis=1)                          # [nb]
+    first_in_block = jnp.argmax(ab, axis=1).astype(jnp.int32)
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+    iblk = jnp.arange(blk, dtype=jnp.int32)
+
+    def first_crossing(pos):
+        """Smallest d >= pos with m[d] >= threshold; (0, False) if none
+        (matching argmax-of-empty-mask in the flat form)."""
+        pb = jnp.minimum(pos // blk, nb - 1)
+        off = pos - pb * blk          # >= blk when pos is past the end
+        inblk = jax.lax.dynamic_slice(above, (pb * blk,), (blk,))
+        inmask = (iblk >= off) & inblk
+        found1 = jnp.any(inmask)
+        c1 = pb * blk + jnp.argmax(inmask).astype(jnp.int32)
+        later = (bidx > pb) & block_any
+        found2 = jnp.any(later)
+        b2 = jnp.argmax(later).astype(jnp.int32)
+        fib = jax.lax.dynamic_slice(first_in_block, (b2,), (1,))[0]
+        first = jnp.where(found1, c1, b2 * blk + fib)
+        found = found1 | found2
+        return jnp.where(found, first, 0), found
 
     def slot(pos, _):
-        mask = (idx >= pos) & (m >= threshold)
-        found = jnp.any(mask)
-        first = jnp.argmax(mask).astype(jnp.int32)          # first True
+        first, found = first_crossing(pos)
         w = jax.lax.dynamic_slice(m_pad, (first,), (span,))
         peak_off = jnp.argmax(w).astype(jnp.int32)
         peak_val = w[peak_off]

@@ -30,14 +30,19 @@ from ..phy import tables as T
 
 class RxPipeline:
     def __init__(self, spec: WaveformSpec, shift: int = 0,
-                 sync_threshold: float = 0.5):
+                 sync_threshold: float = 0.5, diag: bool = True):
+        # diag=False drops the diagnostic leaves (data_syms, cpe, h) from
+        # results: on this runtime every output byte pays executable
+        # staging cost, and the bench/production path needs only bits +
+        # metrics (EVM is computed inside either way).
         from ..core.boundary import jit_planar
         self.spec = spec
         self.shift = shift
         self.sync_threshold = sync_threshold
-        self._aligned = jit_planar(functools.partial(_rx_aligned, spec, shift))
+        self._aligned = jit_planar(
+            functools.partial(_rx_aligned, spec, shift, diag))
         self._capture = jit_planar(
-            functools.partial(_rx_capture, spec, sync_threshold),
+            functools.partial(_rx_capture, spec, sync_threshold, diag),
             static_argnames=("max_frames",))
 
     def rx_aligned(self, frames: jax.Array) -> dict:
@@ -49,7 +54,12 @@ class RxPipeline:
         return self._aligned(frames)
 
     def rx_capture(self, capture: jax.Array, max_frames: int) -> dict:
-        """capture [n] -> result dict with [max_frames, ...] slots + 'valid'."""
+        """capture [n] -> result dict with [max_frames, ...] slots + 'valid'.
+
+        Batched form: capture [C, n] -> every result leaf gains a leading
+        [C] axis (the chain is vmapped over independent captures — one
+        dispatch amortizes sync/demod over C captures, VERDICT r1 item 1b).
+        """
         return self._capture(capture, max_frames=max_frames)
 
 
@@ -97,12 +107,16 @@ def _frontend(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
             "h": h}
 
 
-def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
+def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int,
+                  diag: bool = True) -> dict:
     """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len]."""
     out = _frontend(spec, frames, shift)
     with jax.named_scope("fec_decode"):
         payload, crc_ok = _decode(spec, out.pop("llr"))
     out.update({"payload": payload, "crc_ok": crc_ok})
+    if not diag:
+        for k in ("data_syms", "cpe", "h"):
+            out.pop(k)
     return out
 
 
@@ -124,12 +138,17 @@ def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:
     return payload, PB.crc32_check(payload, crc_rx)
 
 
-def _rx_aligned(spec: WaveformSpec, shift: int, frames: jax.Array) -> dict:
-    return _demod_frames(spec, _to_baseband(spec, frames), shift)
+def _rx_aligned(spec: WaveformSpec, shift: int, diag: bool,
+                frames: jax.Array) -> dict:
+    return _demod_frames(spec, _to_baseband(spec, frames), shift, diag)
 
 
-def _rx_capture(spec: WaveformSpec, threshold: float, capture: jax.Array,
-                max_frames: int) -> dict:
+def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
+                capture: jax.Array, max_frames: int) -> dict:
+    if capture.ndim == 2:     # [C, n]: vmap the chain over captures
+        return jax.vmap(
+            lambda c: _rx_capture(spec, threshold, diag, c, max_frames))(
+            capture)
     pad = (-capture.shape[-1]) % spec.resample_l  # decimation needs n % L == 0
     if pad:  # static: resolved at trace time
         capture = jnp.pad(capture, (0, pad))
@@ -143,7 +162,7 @@ def _rx_capture(spec: WaveformSpec, threshold: float, capture: jax.Array,
     # residual integer-CFO ramp composes with the fractional one already
     # applied (k = 0 -> identity); no branch needed
     frames = PS.cfo_correct(frames, eps - eps_f, spec.n_sc)
-    out = _demod_frames(spec, frames, shift=min(4, spec.cp // 4))
+    out = _demod_frames(spec, frames, shift=min(4, spec.cp // 4), diag=diag)
     out.update({"d": ds, "eps": eps, "valid": valid,
                 "crc_ok": out["crc_ok"] & valid})
     return out

@@ -37,7 +37,7 @@ def rx_frames_sharded(spec: WaveformSpec, mesh: jax.sharding.Mesh,
     (SURVEY.md §5.5).
     """
     def step(frames):
-        out = RXP._rx_aligned(spec, shift, frames)
+        out = RXP._rx_aligned(spec, shift, True, frames)
 
         def metrics(crc_ok, evm_db):
             n_ok = jax.lax.psum(jnp.sum(crc_ok.astype(jnp.int32)), "frame")
