@@ -18,6 +18,7 @@ Diagnostics go to stderr; stdout carries exactly one JSON line.
 
 from __future__ import annotations
 
+import functools
 import json
 import signal
 import sys
@@ -53,15 +54,24 @@ def _build_captures(spec, n_caps, n_frames, gap):
 
 
 VARIANTS = {
-    # name -> spec overrides; bench keeps the fastest that passes the
-    # bit-exactness gate. pallas first: it has been the winner on every
-    # measured pool machine (37.5 vs 1.5-8.1 Msps for the jnp.fft path on
-    # 2026-08-19's tunnel), so if a later variant hangs past its alarm the
-    # best number is already banked.
-    "pallas": {"kernel_backend": "pallas"},
-    "xla": {},
-    "xla-windowed-viterbi": {"viterbi_mode": "windowed"},
+    # name -> (spec overrides, input format); bench keeps the fastest
+    # variant that passes the bit-exactness gate. sc16 = radio-native
+    # int16 IQ planes converted on-device (4x less host->device traffic —
+    # the measured bottleneck of the fc32 path); the chain after the
+    # conversion is identical. Fastest-known variant first so a later hang
+    # can't cost the banked number.
+    "xla-sc16": ({}, "sc16"),
+    "xla": ({}, "fc32"),
+    "pallas-sc16": ({"kernel_backend": "pallas"}, "sc16"),
+    "xla-windowed-viterbi-sc16": ({"viterbi_mode": "windowed"}, "sc16"),
 }
+
+
+def _to_sc16(caps: np.ndarray) -> np.ndarray:
+    """[C, n] complex -> [2, C, n] int16 full-scale planes (UHD sc16)."""
+    planes = np.stack([caps.real, caps.imag])
+    scale = 32767.0 / np.max(np.abs(planes))
+    return np.round(planes * scale).astype(np.int16)
 
 
 def bench_backend(spec, caps, payloads, backend, iters=8, budget=1500):
@@ -80,12 +90,20 @@ def bench_backend(spec, caps, payloads, backend, iters=8, budget=1500):
 
     n_caps, n_frames = payloads.shape[0], payloads.shape[1]
     mf = n_frames + 2
-    rx = RxPipeline(spec.with_(**VARIANTS[backend]), diag=False)
-    xs = [device_put_planar(caps * np.float32(1.0 + 1e-6 * i))
-          for i in range(2)]
+    overrides, fmt = VARIANTS[backend]
+    rx = RxPipeline(spec.with_(**overrides), diag=False)
+    if fmt == "sc16":
+        iq = _to_sc16(caps)
+        # distinct buffers (anti result-caching); identical content is fine
+        xs = [device_put_planar(iq.copy()) for _ in range(2)]
+        run = functools.partial(rx.rx_capture_sc16, max_frames=mf)
+    else:
+        xs = [device_put_planar(caps * np.float32(1.0 + 1e-6 * i))
+              for i in range(2)]
+        run = functools.partial(rx.rx_capture, max_frames=mf)
     signal.alarm(budget)
     try:
-        out = rx.rx_capture(xs[0], max_frames=mf)
+        out = run(xs[0])
         # correctness gate: fetch only small outputs
         crc = np.asarray(out["crc_ok"])[:, :n_frames]
         bits = np.asarray(out["payload"])[:, :n_frames]
@@ -97,8 +115,7 @@ def bench_backend(spec, caps, payloads, backend, iters=8, budget=1500):
         # keep every iteration's output alive and fetch a small leaf from
         # each: the runtime may cancel computations whose outputs die
         # unfetched, and block_until_ready does not reliably wait
-        outs = [rx.rx_capture(xs[i % 2], max_frames=mf)
-                for i in range(iters)]
+        outs = [run(xs[i % 2]) for i in range(iters)]
         for o in outs:
             np.asarray(o["crc_ok"])
         dt = time.perf_counter() - t0
@@ -126,10 +143,12 @@ def main():
     import jax
 
     spec = config("c3")
-    # 8 captures x ~554k samples per dispatch: amortizes the tunnel's
-    # ~4 ms fixed dispatch latency AND batches the whole chain (sync,
-    # demod, Viterbi) across captures (VERDICT r1 item 1b)
-    n_caps, n_frames, gap = 8, 128, 300
+    # 32 captures x ~554k samples (17.7M) per dispatch: the tunnel's
+    # fixed dispatch floor fluctuates between ~4 and ~22 ms per executable
+    # call (measured both), so the chain is batched until dispatch is
+    # noise; sync/demod/Viterbi all amortize across captures (VERDICT r1
+    # item 1b)
+    n_caps, n_frames, gap = 32, 128, 300
     caps, payloads = _build_captures(spec, n_caps, n_frames, gap)
     device = "unknown"
     try:

@@ -18,9 +18,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     C.add_common_args(p)
     p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--caps", type=int, default=1,
+                   help="captures per dispatch (capture mode)")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", choices=["aligned", "capture", "stream"],
                    default="capture")
+    p.add_argument("--input", choices=["fc32", "sc16"], default="fc32",
+                   help="capture-mode input format (sc16 = radio-native "
+                        "int16 IQ, 4x less host->device traffic)")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace (Perfetto) here")
     p.add_argument("--jsonl", default=None, help="append results to JSONL")
@@ -30,9 +35,8 @@ def main(argv=None):
     import jax
     from ..core.spec import ChannelSpec
     from ..channel import apply_channel, make_capture
-    from ..golden import GoldenModem
     from ..pipeline import TxPipeline, RxPipeline
-    from ..metrics import JsonlLogger
+    from ..metrics import JsonlLogger, timed_loop
 
     spec = C.spec_from_args(args)
     rng = np.random.default_rng(args.seed)
@@ -44,52 +48,54 @@ def main(argv=None):
     ch = ChannelSpec(snr_db=28.0, cfo=cfo_bb / spec.resample_l,
                      timing_offset=100 if args.mode != "aligned" else 0)
 
+    from ..core.boundary import device_put_planar
     if args.mode == "aligned":
         frames = platform.fetch(TxPipeline(spec)(payloads))
         rx_in = np.stack([apply_channel(frames[i], ch, spec.n_sc, seed=i)
                           for i in range(args.frames)])
         rx = RxPipeline(spec, shift=min(4, spec.cp // 4))
-        from ..core.boundary import device_put_planar
-        x = device_put_planar(rx_in)
-        run = lambda: rx.rx_aligned(x)
+        xs = [device_put_planar(rx_in * np.float32(1 + 1e-6 * i))
+              for i in range(2)]
+        run = rx.rx_aligned
         n_samples = rx_in.size
     elif args.mode == "stream":
         return _bench_stream(args, spec, payloads, ch)
     else:
-        gm = GoldenModem(spec)
         fr = platform.fetch(TxPipeline(spec)(payloads))  # radio rate
-        cap = make_capture(np.asarray(fr), ch, spec.n_sc, gap=300,
-                           seed=args.seed).astype(np.complex64)
+        caps = np.stack([
+            make_capture(np.asarray(fr), ch, spec.n_sc, gap=300, seed=s)
+            for s in range(args.caps)]).astype(np.complex64)
+        cap_in = caps[0] if args.caps == 1 else caps
         rx = RxPipeline(spec)
-        from ..core.boundary import device_put_planar
-        x = device_put_planar(cap)
-        run = lambda: rx.rx_capture(x, max_frames=args.frames + 2)
-        n_samples = len(cap)
+        if args.input == "sc16":
+            planes = np.stack([cap_in.real, cap_in.imag])
+            iq = np.round(planes * (32767.0 / np.max(np.abs(planes)))
+                          ).astype(np.int16)
+            xs = [device_put_planar(iq.copy()) for _ in range(2)]
+            run = lambda x: rx.rx_capture_sc16(x, max_frames=args.frames + 2)
+        else:
+            xs = [device_put_planar(cap_in * np.float32(1 + 1e-6 * i))
+                  for i in range(2)]
+            run = lambda x: rx.rx_capture(x, max_frames=args.frames + 2)
+        n_samples = cap_in.size
 
-    out = jax.block_until_ready(run())     # compile + warmup
-    n_ok = int(np.asarray(out["crc_ok"]).sum())
-
-    def timed():
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            o = run()
-        jax.block_until_ready(o)
-        return time.perf_counter() - t0
-
+    argsets = [(x,) for x in xs]
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):
-            dt = timed()
+            dt, out = timed_loop(run, argsets, args.iters)
     else:
-        dt = timed()
+        dt, out = timed_loop(run, argsets, args.iters)
+    n_ok = int(np.asarray(out["crc_ok"]).sum())
 
-    sps = n_samples * args.iters / dt
+    sps = n_samples / dt
     rec = {
         "config": args.config, "mode": args.mode,
-        "backend": spec.kernel_backend,
+        "backend": spec.kernel_backend, "input": args.input,
         "device": jax.devices()[0].device_kind,
+        "caps_per_dispatch": args.caps,
         "msamples_per_s": round(sps / 1e6, 3),
-        "frames_per_s": round(n_ok * args.iters / dt, 1),
-        "frames_ok": n_ok, "frames": args.frames,
+        "frames_per_s": round(n_ok / dt, 1),
+        "frames_ok": n_ok, "frames": args.frames * max(1, args.caps),
         "evm_db": round(float(np.mean(np.asarray(out["evm_db"]))), 2),
     }
     if args.jsonl:

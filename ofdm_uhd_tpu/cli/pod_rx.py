@@ -55,6 +55,7 @@ def main(argv=None):
     frames += rx.flush()
     m.update_stream(frames)
     m.samples = len(samples)
+    m.tracking = rx.tracking()
     if args.save_state:
         rx.save_state(args.save_state)
     if args.bits_out and frames:

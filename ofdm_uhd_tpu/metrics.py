@@ -36,6 +36,7 @@ class RunMetrics:
     frames_ok: int = 0
     evm_sum: float = 0.0
     evm_n: int = 0
+    tracking: dict | None = None   # StreamRx.tracking() snapshot (§5.3)
     t0: float = dataclasses.field(default_factory=time.perf_counter)
 
     def update_batch(self, out: dict, n_samples: int) -> None:
@@ -56,7 +57,9 @@ class RunMetrics:
 
     def summary(self) -> dict:
         dt = time.perf_counter() - self.t0
+        extra = {"tracking": self.tracking} if self.tracking else {}
         return {
+            **extra,
             "samples": self.samples,
             "frames_detected": self.frames_detected,
             "frames_ok": self.frames_ok,
@@ -67,6 +70,40 @@ class RunMetrics:
             "msamples_per_s": self.samples / dt / 1e6 if dt > 0 else 0.0,
             "frames_per_s": self.frames_ok / dt if dt > 0 else 0.0,
         }
+
+
+def force_fetch_small(out):
+    """Serialize on an execution's TRUE completion by fetching its
+    smallest output leaf.
+
+    On this environment's axon PJRT runtime, jax.block_until_ready does
+    not reliably wait, and a computation whose outputs all die unfetched
+    can be cancelled outright — so timed loops must keep every iteration's
+    output alive and force one leaf of each to host (bench/stages.py
+    measurement protocol)."""
+    import jax
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "size")]
+    leaves.sort(key=lambda a: a.size)
+    return np.asarray(leaves[0])
+
+
+def timed_loop(fn, argsets: list, iters: int) -> tuple[float, object]:
+    """Hardened throughput timing: returns (seconds/iter, last output).
+
+    argsets: >=2 distinct pre-staged device arg tuples, cycled — a runtime
+    that caches results by argument buffer identity cannot collapse the
+    loop. Warmup touches EVERY argset (device_put through the tunnel is
+    lazy; an untouched buffer would upload inside the timed region)."""
+    out = None
+    for a in argsets:
+        out = fn(*a)
+    force_fetch_small(out)
+    t0 = time.perf_counter()
+    outs = [fn(*argsets[i % len(argsets)]) for i in range(iters)]
+    for o in outs:
+        force_fetch_small(o)
+    return (time.perf_counter() - t0) / iters, outs[-1]
 
 
 class JsonlLogger:

@@ -44,6 +44,9 @@ class RxPipeline:
         self._capture = jit_planar(
             functools.partial(_rx_capture, spec, sync_threshold, diag),
             static_argnames=("max_frames",))
+        self._capture_sc16 = jit_planar(
+            functools.partial(_rx_capture_sc16, spec, sync_threshold, diag),
+            static_argnames=("max_frames",))
 
     def rx_aligned(self, frames: jax.Array) -> dict:
         """frames [B, frame_len_radio] -> result dict (all [B, ...]).
@@ -62,6 +65,17 @@ class RxPipeline:
         """
         return self._capture(capture, max_frames=max_frames)
 
+    def rx_capture_sc16(self, iq: jax.Array, max_frames: int) -> dict:
+        """Capture RX from radio-native sc16 IQ: iq int16 [2, n] or
+        [2, C, n] (real/imag planes, UHD wire format, full-scale 32767).
+
+        The int16->complex conversion happens ON-DEVICE inside the jitted
+        chain: host->device moves 4x fewer bytes than complex64 — the
+        radio feed is the chain's bandwidth bottleneck, exactly as the
+        reference's UHD recv path streams sc16 and converts on the host.
+        """
+        return self._capture_sc16(iq, max_frames=max_frames)
+
 
 def _to_baseband(spec: WaveformSpec, x: jax.Array) -> jax.Array:
     """Radio rate -> baseband (inverse of the TX resampling)."""
@@ -77,20 +91,14 @@ def _to_baseband(spec: WaveformSpec, x: jax.Array) -> jax.Array:
     return y
 
 
-def _frontend(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
-    """Symbol-domain front end: FFT -> chanest/EQ/CPE -> LLR demap.
+def _grid_demod(spec: WaveformSpec, grid: jax.Array, h: jax.Array) -> dict:
+    """EQ/CPE/LLR demap from an FFT grid and a channel estimate.
 
-    Ends at the LLR boundary — the natural inter-stage payload for the
-    optional stage pipeline (shard/stage_pipeline.py): a fixed-shape f32
-    array, after which only bit-domain FEC/CRC work remains.
-
-    jax.named_scope ranges per chain stage show up in profiler traces
-    (SURVEY.md §5.1) at zero runtime cost.
+    Split out of _frontend so the streaming TRACK mode can re-demodulate
+    with the pod-tracked channel estimate instead of the frame's own
+    (shard/time_parallel.py re-acquisition retry).
     """
-    with jax.named_scope("ofdm_fft"):
-        grid = PF.ofdm_demodulate(spec, frames, shift=shift)
     with jax.named_scope("chanest_eq_cpe"):
-        h = PF.estimate_channel(spec, grid)
         eq = PF.equalize(spec, grid, h)
         data, cpe = PF.track_phase(spec, eq)
     with jax.named_scope("llr_demap"):
@@ -107,6 +115,22 @@ def _frontend(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
             "h": h}
 
 
+def _frontend(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
+    """Symbol-domain front end: FFT -> chanest/EQ/CPE -> LLR demap.
+
+    Ends at the LLR boundary — the natural inter-stage payload for the
+    optional stage pipeline (shard/stage_pipeline.py): a fixed-shape f32
+    array, after which only bit-domain FEC/CRC work remains.
+
+    jax.named_scope ranges per chain stage show up in profiler traces
+    (SURVEY.md §5.1) at zero runtime cost.
+    """
+    with jax.named_scope("ofdm_fft"):
+        grid = PF.ofdm_demodulate(spec, frames, shift=shift)
+    h = PF.estimate_channel(spec, grid)
+    return _grid_demod(spec, grid, h)
+
+
 def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int,
                   diag: bool = True) -> dict:
     """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len]."""
@@ -117,6 +141,18 @@ def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int,
     if not diag:
         for k in ("data_syms", "cpe", "h"):
             out.pop(k)
+    return out
+
+
+def _demod_frames_with_h(spec: WaveformSpec, frames: jax.Array, shift: int,
+                         h: jax.Array) -> dict:
+    """Like _demod_frames but with an EXTERNAL channel estimate h
+    [B, n_occupied] (the pod-tracked EMA) instead of the frames' own
+    preamble estimate — the streaming TRACK-mode retry path."""
+    grid = PF.ofdm_demodulate(spec, frames, shift=shift)
+    out = _grid_demod(spec, grid, h)
+    payload, crc_ok = _decode(spec, out.pop("llr"))
+    out.update({"payload": payload, "crc_ok": crc_ok})
     return out
 
 
@@ -136,6 +172,20 @@ def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:
     payload = body[:, : body.shape[-1] - CRC_BITS]
     crc_rx = body[:, body.shape[-1] - CRC_BITS:]
     return payload, PB.crc32_check(payload, crc_rx)
+
+
+def _rx_capture_sc16(spec: WaveformSpec, threshold: float, diag: bool,
+                     iq: jax.Array, max_frames: int) -> dict:
+    """iq int16 [2, ...]: planes -> complex64 on-device, then the chain.
+
+    The chain is scale-invariant (S&C metric is normalized; the channel
+    estimate absorbs amplitude), so the 1/32767 full-scale factor is
+    cosmetic but keeps EVM/power metrics comparable to fc32 inputs.
+    """
+    c = (iq[0].astype(jnp.float32) * (1.0 / 32767.0)
+         + 1j * iq[1].astype(jnp.float32) * (1.0 / 32767.0)
+         ).astype(jnp.complex64)
+    return _rx_capture(spec, threshold, diag, c, max_frames)
 
 
 def _rx_aligned(spec: WaveformSpec, shift: int, diag: bool,

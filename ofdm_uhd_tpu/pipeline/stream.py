@@ -36,7 +36,7 @@ class StreamRx:
     def __init__(self, spec: WaveformSpec, mesh=None, chunk_len: int | None = None,
                  max_frames_per_shard: int | None = None,
                  threshold: float = 0.5, pallas_halo: bool = False,
-                 reshard: bool = False):
+                 reshard: bool = False, track_mode: bool = True):
         if spec.resample_m != 1:
             raise NotImplementedError(
                 "streaming supports integer decimation (resample_m == 1)")
@@ -51,9 +51,21 @@ class StreamRx:
         self.radio_chunk = chunk_len * spec.resample_l  # input samples/step
         self._step, self.cb, self.h = make_stream_step(
             spec, self.mesh, chunk_len, max_frames_per_shard, threshold,
-            pallas_halo=pallas_halo, reshard=reshard)
+            pallas_halo=pallas_halo, reshard=reshard, track_mode=track_mode)
         self.state = StreamState.init(spec)
+        self.rescued = 0       # frames recovered by the TRACK-mode retry
         self._buf = np.zeros(0, dtype=np.complex64)
+
+    def tracking(self) -> dict:
+        """Pod-tracked channel/CFO state (SURVEY.md §5.3/§5.5)."""
+        from ..core.platform import fetch
+        h_t = np.asarray(fetch(self.state.h_track))
+        return {
+            "eps_track": float(np.asarray(fetch(self.state.eps_track))),
+            "track_wt": float(np.asarray(fetch(self.state.track_wt))),
+            "h_track_rms": float(np.sqrt(np.mean(np.abs(h_t) ** 2))),
+            "rescued": self.rescued,
+        }
 
     def _put_chunk(self, chunk: np.ndarray) -> jax.Array:
         """Build the (possibly multi-host) global sharded chunk array.
@@ -108,6 +120,7 @@ class StreamRx:
         return self.process(filler)
 
     def _collect(self, outs) -> list[StreamFrame]:
+        self.rescued += int(np.asarray(outs["rescued"])[0])
         owned = np.asarray(outs["owned"])
         if not owned.any():
             return []

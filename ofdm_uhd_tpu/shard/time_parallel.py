@@ -79,9 +79,47 @@ def _reshard_demod(spec: WaveformSpec, frames, axis: str, t: int,
     return {k: _slot_transpose(v, axis, t)[:f] for k, v in out.items()}
 
 
+def _track_retry(spec: WaveformSpec, frames, eps, shift: int, out: dict,
+                 state: StreamState):
+    """TRACK-mode re-acquisition (SURVEY.md §5.3 ACQUIRE->TRACK; VERDICT r1
+    item 5): slots whose own decode failed CRC are re-demodulated with the
+    POD-TRACKED hypothesis — the psum'd EMA channel estimate in place of
+    the frame's own (possibly noise-dominated) preamble estimate, and the
+    EMA CFO in place of the frame's own noisy single-preamble estimate.
+    A slot's first-pass result is kept whenever its CRC passed, so on
+    clean streams TRACK mode is bit-invisible (the sharded==unsharded
+    invariant is untouched); the retry runs under lax.cond only when some
+    valid slot failed and the tracker has history.
+    """
+    ok0 = out["crc_ok"]
+    have = state.track_wt > 0.0
+
+    def retry(_):
+        # replace the frames' own total CFO with the tracked EMA (the
+        # frames were already derotated by their own eps; apply the delta)
+        fr2 = PS.cfo_correct(frames, state.eps_track - eps, spec.n_sc)
+        h_t = jnp.broadcast_to(state.h_track[None, :],
+                               (frames.shape[0], state.h_track.shape[-1]))
+        o2 = RXP._demod_frames_with_h(spec, fr2, shift, h_t)
+        return o2["payload"], o2["crc_ok"], o2["evm_db"]
+
+    def skip(_):
+        return (out["payload"], jnp.zeros_like(ok0), out["evm_db"])
+
+    pay2, ok2, evm2 = jax.lax.cond(
+        jnp.any(~ok0) & have, retry, skip, operand=None)
+    use2 = (~ok0) & have & ok2
+    merged = dict(out)
+    merged["payload"] = jnp.where(use2[:, None], pay2, out["payload"])
+    merged["crc_ok"] = ok0 | use2
+    merged["evm_db"] = jnp.where(use2, evm2, out["evm_db"])
+    eps_f = jnp.where(use2, jnp.broadcast_to(state.eps_track, eps.shape), eps)
+    return merged, eps_f, use2
+
+
 def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
                 threshold: float, ema: float, axis: str, pallas_halo: bool,
-                reshard: bool,
+                reshard: bool, track_mode: bool,
                 block, halo_fresh, state: StreamState):
     """Per-shard body inside shard_map.
 
@@ -119,11 +157,32 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
         out = _reshard_demod(spec, frames, axis, t, shift)
     else:
         out = RXP._demod_frames(spec, frames, shift=shift)
+    n_rescued = jnp.int32(0)
+    used = jnp.zeros(out["crc_ok"].shape, dtype=bool)
+    if track_mode:
+        out, eps, used = _track_retry(spec, frames, eps, shift, out, state)
+        n_rescued = jax.lax.psum(jnp.sum((used & owned).astype(jnp.int32)),
+                                 axis)
     ok = out["crc_ok"] & owned
 
     # ---- pod-wide tracking (psum over the time axis) ----
-    wt = ok.astype(jnp.float32)
-    h_sum = jax.lax.psum(jnp.sum(out["h"] * wt[:, None].astype(jnp.complex64),
+    # fold in FIRST-PASS successes only: a rescued slot's own preamble
+    # estimate is the noise that made it fail — it must not enter the EMA
+    wt = (ok & ~used).astype(jnp.float32)
+    # canonical phase alignment: each frame's H carries an arbitrary
+    # common phase (the carrier phase at its capture position survives
+    # the frame-local CFO ramp), so raw averaging is INCOHERENT and the
+    # EMA would decay toward zero. Rotate each estimate so the phase of
+    # its bin-sum is zero — a per-frame canonical form, consistent across
+    # frames/shards over a static channel; the retry's per-symbol pilot
+    # CPE absorbs the remaining common phase.
+    h_est = out["h"]
+    ref = jnp.sum(h_est, axis=-1, keepdims=True)
+    refa = jnp.abs(ref)
+    align = jnp.where(refa > 0, jnp.conj(ref) / jnp.maximum(refa, 1e-30),
+                      jnp.ones_like(ref))
+    h_aligned = h_est * align
+    h_sum = jax.lax.psum(jnp.sum(h_aligned * wt[:, None].astype(jnp.complex64),
                                  axis=0), axis)
     eps_sum = jax.lax.psum(jnp.sum(eps * wt), axis)
     n_sum = jax.lax.psum(jnp.sum(wt), axis)
@@ -162,6 +221,7 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
         "d_global": d_global,
         "eps": eps,
         "evm_db": out["evm_db"],
+        "rescued": n_rescued[None],     # psum'd scalar, same on all shards
     }
     # all_gather -> fully replicated outputs: the host can read them on any
     # process (multi-host pod) without extra transfers; they are tiny
@@ -174,7 +234,8 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
 def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
                      chunk_len: int, max_frames_per_shard: int | None = None,
                      threshold: float = 0.5, ema: float = 0.25,
-                     pallas_halo: bool = False, reshard: bool = False):
+                     pallas_halo: bool = False, reshard: bool = False,
+                     track_mode: bool = True):
     """Build the jitted sharded streaming step.
 
     Returns (step, cb, h): step(state, chunk [chunk_len]) -> (state, outs);
@@ -192,7 +253,7 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
 
     body = functools.partial(_shard_step, spec, cb, h,
                              max_frames_per_shard, threshold, ema, "time",
-                             pallas_halo, reshard)
+                             pallas_halo, reshard, track_mode)
 
     smapped = jax.shard_map(
         body, mesh=mesh,

@@ -88,3 +88,63 @@ def test_corrupted_frame_flagged_not_fatal():
     assert not crc[1]                  # flagged, not false-accepted
     assert np.array_equal(np.asarray(out["payload"])[0], payloads[0])
     assert np.array_equal(np.asarray(out["payload"])[2], payloads[2])
+
+
+def test_track_mode_rescues_preamble_burst():
+    """TRACK mode (SURVEY.md §5.3 ACQUIRE->TRACK; VERDICT r1 item 5): a
+    noise burst wipes one frame's channel-estimation symbol (preamble sym
+    B). Its own LS estimate is noise-dominated, so the first-pass decode
+    fails CRC; the retry with the pod-tracked EMA channel + CFO (psum'd
+    from earlier frames over the static channel) recovers it. Without
+    track_mode the frame is lost. sfo_track absorbs the (sample-level)
+    timing-phase mismatch between the tracked estimate and this frame."""
+    import jax
+    from ofdm_uhd_tpu.channel import make_capture
+    from ofdm_uhd_tpu.pipeline.stream import StreamRx
+    from ofdm_uhd_tpu.shard.mesh import make_mesh
+
+    spec = config("c5").with_(sfo_track=True)
+    n_fr, gap, offset = 10, 500, 700
+    frames, payloads = _frames(spec, n_fr, seed=7)
+    ch = ChannelSpec(snr_db=24.0, cfo=0.7, phase_noise_std=1e-4,
+                     multipath_taps=(1.0, 0.0, 0.25j, 0.1),
+                     timing_offset=offset)
+    cap = make_capture(np.stack(frames), ch, spec.n_sc, gap=gap,
+                       seed=7).astype(np.complex64)
+
+    # burst over sym B of the LAST frame (well past the first chunk, so
+    # the tracker has history when its chunk is processed)
+    burst_frame = n_fr - 1
+    s = offset + burst_frame * (spec.frame_len + gap) + spec.sym_len
+    rng = np.random.default_rng(99)
+    rms = float(np.sqrt(np.mean(np.abs(cap) ** 2)))
+    burst = 4.0 * rms * (rng.standard_normal(spec.sym_len)
+                         + 1j * rng.standard_normal(spec.sym_len))
+    cap[s: s + spec.sym_len] += burst.astype(np.complex64)
+
+    chunk = 4 * 2 * (spec.frame_len + spec.n_sc)
+    assert s > chunk, "burst frame must land after the first chunk"
+
+    def run(track):
+        rx = StreamRx(spec, mesh=make_mesh(1, 4,
+                                           devices=jax.devices()[:4]),
+                      chunk_len=chunk, track_mode=track)
+        got = rx.process(cap) + rx.flush()
+        return rx, got
+
+    rx_no, got_no = run(False)
+    ok_no = sum(g.crc_ok for g in got_no)
+    rx_tr, got_tr = run(True)
+    ok_tr = sum(g.crc_ok for g in got_tr)
+
+    assert ok_no == n_fr - 1, f"burst should kill exactly one frame ({ok_no})"
+    assert ok_tr == n_fr, f"TRACK mode should rescue it ({ok_tr}/{n_fr})"
+    assert rx_tr.rescued >= 1
+    t = rx_tr.tracking()
+    assert t["track_wt"] > 0 and abs(t["eps_track"] - 0.7) < 0.1
+    # the rescued payload is the transmitted one
+    by_start = {g.start: g for g in got_tr}
+    rescued = [g for g in got_tr
+               if abs(g.start - (s - spec.sym_len)) <= spec.cp]
+    assert len(rescued) == 1 and rescued[0].crc_ok
+    assert np.array_equal(rescued[0].payload, payloads[burst_frame])
