@@ -1,0 +1,133 @@
+"""Kernel A/B: Pallas vs XLA, correctness + throughput per kernel.
+
+Covers the flagship sizes the VERDICT flagged as unproven on hardware:
+fft-1024, the fused Viterbi at C3 trellis length (n=6912), FIR/polyphase,
+and the S&C correlator. Uses the hardened timing protocol
+(metrics.timed_loop). Run on the real chip:
+
+    python bench/kernels_ab.py [--iters 4] [--jsonl bench/results/kab.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--jsonl", default=None)
+    args = ap.parse_args()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ofdm_uhd_tpu.core.boundary import device_put_planar, jit_planar
+    from ofdm_uhd_tpu.metrics import JsonlLogger, timed_loop
+
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0].device_kind
+    log(f"# device={dev}")
+    results = []
+
+    def ab(name, fn_x, fn_p, arrs, check_atol, work_samples):
+        """arrs: list of >=2 host inputs; asserts pallas==xla within atol."""
+        xs = [device_put_planar(a) for a in arrs]
+        row = {"kernel": name, "device": dev}
+        try:
+            ref = np.asarray(jit_planar(fn_x)(xs[0]))
+        except Exception as e:
+            log(f"# {name}: xla FAILED {type(e).__name__} {str(e)[:120]}")
+            return
+        for tag, fn in (("xla", fn_x), ("pallas", fn_p)):
+            if fn is None:
+                continue
+            jf = jit_planar(fn)
+            try:
+                got = np.asarray(jf(xs[0]))
+                err = float(np.max(np.abs(got.astype(np.float64)
+                                          - ref.astype(np.float64))))
+                dt, _ = timed_loop(jf, [(x,) for x in xs], args.iters)
+                row[f"{tag}_ms"] = round(dt * 1e3, 3)
+                row[f"{tag}_msps"] = round(work_samples / dt / 1e6, 1)
+                row[f"{tag}_maxerr"] = err
+                ok = err <= check_atol
+                log(f"# {name:<16} {tag:<6} {dt*1e3:8.2f} ms  "
+                    f"{work_samples/dt/1e6:9.1f} Msps  maxerr {err:.2e}"
+                    f"{'' if ok else '  **EXCEEDS ATOL**'}")
+            except Exception as e:
+                row[f"{tag}_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+                log(f"# {name:<16} {tag:<6} FAILED {row[f'{tag}_error']}")
+        if "xla_ms" in row and "pallas_ms" in row:
+            row["pallas_speedup"] = round(row["xla_ms"] / row["pallas_ms"], 2)
+        results.append(row)
+
+    # ---- FFT at every spec size, incl. the flagship 1024 ----
+    from ofdm_uhd_tpu.kernels.fft import fft as kfft
+    for n, b in ((64, 8192), (256, 2048), (1024, 512)):
+        x = (rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))
+             ).astype(np.complex64)
+        arrs = [x * np.float32(1 + 1e-6 * i) for i in range(2)]
+        ab(f"fft-{n}", lambda v, n=n: kfft(v, backend="xla"),
+           lambda v, n=n: kfft(v, backend="pallas"), arrs,
+           check_atol=2e-5 * np.sqrt(n), work_samples=b * n)
+
+    # ---- FIR / polyphase ----
+    from ofdm_uhd_tpu.kernels import fir as K2
+    from ofdm_uhd_tpu.phy.tables import resample_filter
+    taps = np.asarray(resample_filter(8, 1))
+    n = 1 << 20
+    x = (rng.normal(size=(n,)) + 1j * rng.normal(size=(n,))
+         ).astype(np.complex64)
+    arrs = [x * np.float32(1 + 1e-6 * i) for i in range(2)]
+    ab("fir-97t", lambda v: K2.fir_filter(v, taps, backend="xla"),
+       lambda v: K2.fir_filter(v, taps, backend="pallas"), arrs,
+       check_atol=1e-3, work_samples=n)
+    ab("decim-8x", lambda v: K2.polyphase_decim(v, 8, taps, backend="xla"),
+       lambda v: K2.polyphase_decim(v, 8, taps, backend="pallas"), arrs,
+       check_atol=1e-3, work_samples=n)
+    xs_small = [a[: n // 8] for a in arrs]
+    ab("interp-8x", lambda v: K2.polyphase_interp(v, 8, taps, backend="xla"),
+       lambda v: K2.polyphase_interp(v, 8, taps, backend="pallas"), xs_small,
+       check_atol=1e-3, work_samples=n)
+
+    # ---- S&C correlator ----
+    from ofdm_uhd_tpu.kernels.sync import sc_correlate, sc_metric
+    ab("sc-corr-128", lambda v: sc_metric(*sc_correlate(v, 128, "xla")),
+       lambda v: sc_metric(*sc_correlate(v, 128, "pallas")), arrs,
+       check_atol=1e-2, work_samples=n)
+
+    # ---- Viterbi at C3 flagship length (n=6912) ----
+    from ofdm_uhd_tpu.phy.bits import (conv_encode, viterbi_decode,
+                                       viterbi_decode_windowed)
+    from ofdm_uhd_tpu.kernels.pallas_viterbi import viterbi_pallas
+    nb, bsz = 6912, 130
+    bits = rng.integers(0, 2, (bsz, nb)).astype(np.uint8)
+    bits[:, -6:] = 0
+    coded = np.asarray(conv_encode(jnp.asarray(bits)))
+    llr = ((1.0 - 2.0 * coded)
+           + rng.normal(0, 0.5, coded.shape)).astype(np.float32)
+    arrs = [llr * np.float32(1 + 1e-5 * i) for i in range(2)]
+    ab("viterbi-6912", viterbi_decode, viterbi_pallas, arrs,
+       check_atol=0, work_samples=bsz * nb)
+    ab("viterbi-win-6912", viterbi_decode_windowed, None, arrs,
+       check_atol=0, work_samples=bsz * nb)
+
+    if args.jsonl:
+        lg = JsonlLogger(args.jsonl)
+        for r in results:
+            lg.log(r)
+    import json
+    print(json.dumps(results, indent=None))
+
+
+if __name__ == "__main__":
+    main()

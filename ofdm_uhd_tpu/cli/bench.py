@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--input", choices=["fc32", "sc16"], default="fc32",
                    help="capture-mode input format (sc16 = radio-native "
                         "int16 IQ, 4x less host->device traffic)")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="stream-mode chunk length in baseband samples")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace (Perfetto) here")
     p.add_argument("--jsonl", default=None, help="append results to JSONL")
@@ -95,7 +97,8 @@ def main(argv=None):
         "caps_per_dispatch": args.caps,
         "msamples_per_s": round(sps / 1e6, 3),
         "frames_per_s": round(n_ok / dt, 1),
-        "frames_ok": n_ok, "frames": args.frames * max(1, args.caps),
+        "frames_ok": n_ok,
+        "frames": args.frames * (args.caps if args.mode == "capture" else 1),
         "evm_db": round(float(np.mean(np.asarray(out["evm_db"]))), 2),
     }
     if args.jsonl:
@@ -116,7 +119,7 @@ def _bench_stream(args, spec, payloads, ch):
     fr = np.asarray(platform.fetch(TxPipeline(spec)(payloads)))
     cap = make_capture(fr, ch, spec.n_sc, gap=300,
                        seed=args.seed).astype(np.complex64)
-    rx = StreamRx(spec)
+    rx = StreamRx(spec, chunk_len=args.chunk)
     # pad the tail so every iteration feeds whole chunks (steady state)
     pad = (-len(cap)) % rx.radio_chunk
     cap = np.concatenate([cap, np.zeros(pad, np.complex64)])

@@ -15,7 +15,13 @@ Fields:
   h_track    [n_occ] c64     — pod-averaged EMA channel estimate (psum'd)
   eps_track  scalar f32      — pod-averaged EMA CFO estimate (psum'd)
   track_wt   scalar f32      — EMA accumulated weight (0 until first frame)
-  samples    scalar i64      — total samples consumed (global timebase)
+  steps      scalar i32      — stream steps (chunks) consumed. The global
+                               sample timebase is steps * chunk_len,
+                               composed HOST-SIDE with unbounded Python
+                               ints (StreamRx); keeping only the step
+                               count on-device makes the timebase
+                               wrap-free for > 10^13 samples without
+                               needing x64 inside jit.
   frames     scalar i32      — frames detected (owned detections only)
   crc_ok     scalar i32      — frames passing CRC
 """
@@ -39,7 +45,7 @@ class StreamState:
     h_track: jax.Array
     eps_track: jax.Array
     track_wt: jax.Array
-    samples: jax.Array
+    steps: jax.Array
     frames: jax.Array
     crc_ok: jax.Array
 
@@ -51,7 +57,7 @@ class StreamState:
 
     @staticmethod
     def rtail_len(spec: WaveformSpec) -> int:
-        if spec.resample_l <= 1:
+        if (spec.resample_l, spec.resample_m) == (1, 1):
             return 0
         from ..phy.tables import resample_filter
         return len(resample_filter(spec.resample_l, spec.resample_m)) - 1
@@ -68,9 +74,7 @@ class StreamState:
             h_track=np.zeros(spec.n_occupied, dtype=np.complex64),
             eps_track=np.zeros((), dtype=np.float32),
             track_wt=np.zeros((), dtype=np.float32),
-            # int32 timebase: fine for CI and bench; enable jax_enable_x64
-            # for >2G-sample production streams
-            samples=np.zeros((), dtype=np.int32),
+            steps=np.zeros((), dtype=np.int32),
             frames=np.zeros((), dtype=np.int32),
             crc_ok=np.zeros((), dtype=np.int32),
         )

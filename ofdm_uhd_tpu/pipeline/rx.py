@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..core.spec import WaveformSpec, CRC_BITS, TAIL_BITS
 from ..kernels import fir as K2
+from ..phy import agc as PA
 from ..phy import bits as PB
 from ..phy import frame as PF
 from ..phy import qam as PQ
@@ -203,6 +204,12 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
     if pad:  # static: resolved at trace time
         capture = jnp.pad(capture, (0, pad))
     capture = _to_baseband(spec, capture[None, :])[0]
+    with jax.named_scope("agc"):
+        # front-end AGC (SURVEY.md §2.1 #20): the S&C metric is level-
+        # normalized and the EQ absorbs static gain, so this is numeric
+        # conditioning — raw sc16-scale or heavily attenuated captures
+        # land in a uniform power regime before thresholds/CSI
+        capture, _ = PA.agc_normalize(capture)
     ds, eps_f, valid = PS.detect_frames(spec, capture, max_frames,
                                         threshold=threshold)
     frames = PS.extract_frames(spec, capture, ds)

@@ -36,25 +36,35 @@ class StreamRx:
     def __init__(self, spec: WaveformSpec, mesh=None, chunk_len: int | None = None,
                  max_frames_per_shard: int | None = None,
                  threshold: float = 0.5, pallas_halo: bool = False,
-                 reshard: bool = False, track_mode: bool = True):
-        if spec.resample_m != 1:
-            raise NotImplementedError(
-                "streaming supports integer decimation (resample_m == 1)")
+                 reshard: bool = False, track_mode: bool = True,
+                 agc: bool = True):
         self.spec = spec
         self.mesh = mesh if mesh is not None else make_mesh(
             1, len(jax.devices()))
         t = self.mesh.shape["time"]
         h = StreamState.halo_len(spec)
+        m = spec.resample_m
         if chunk_len is None:
-            chunk_len = t * max(2 * h, 4 * spec.frame_len)
+            # per-shard block rounded up to a multiple of M so the radio
+            # chunk (chunk_len * L / M) is integral and L-aligned
+            cb = -(-max(2 * h, 4 * spec.frame_len) // m) * m
+            chunk_len = t * cb
+        if (chunk_len * spec.resample_l) % m:
+            raise ValueError("chunk_len*L must be divisible by M")
         self.chunk_len = chunk_len              # baseband samples per step
-        self.radio_chunk = chunk_len * spec.resample_l  # input samples/step
+        # radio-rate samples per step (rational: radio = baseband * L / M)
+        self.radio_chunk = chunk_len * spec.resample_l // m
         self._step, self.cb, self.h = make_stream_step(
             spec, self.mesh, chunk_len, max_frames_per_shard, threshold,
-            pallas_halo=pallas_halo, reshard=reshard, track_mode=track_mode)
+            pallas_halo=pallas_halo, reshard=reshard, track_mode=track_mode,
+            agc=agc)
         self.state = StreamState.init(spec)
         self.rescued = 0       # frames recovered by the TRACK-mode retry
         self._buf = np.zeros(0, dtype=np.complex64)
+        # host mirror of state.steps (unbounded Python int): composes the
+        # wrap-free global timebase base = steps * chunk_len without
+        # fetching device state mid-stream
+        self._steps = 0
 
     def tracking(self) -> dict:
         """Pod-tracked channel/CFO state (SURVEY.md §5.3/§5.5)."""
@@ -104,12 +114,14 @@ class StreamRx:
             chunk = self._buf[i * self.radio_chunk : (i + 1) * self.radio_chunk]
             dev = self._put_chunk(chunk)
             self.state, outs = self._step(self.state, dev)
+            base = self._steps * self.chunk_len
+            self._steps += 1
             if pending is not None:
-                out.extend(self._collect(pending))
-            pending = outs
+                out.extend(self._collect(*pending))
+            pending = (outs, base)
         self._buf = self._buf[n_chunks * self.radio_chunk:]
         if pending is not None:
-            out.extend(self._collect(pending))
+            out.extend(self._collect(*pending))
         return out
 
     def flush(self) -> list[StreamFrame]:
@@ -119,22 +131,30 @@ class StreamRx:
         filler = np.zeros(pad + self.radio_chunk, dtype=np.complex64)
         return self.process(filler)
 
-    def _collect(self, outs) -> list[StreamFrame]:
-        self.rescued += int(np.asarray(outs["rescued"])[0])
-        owned = np.asarray(outs["owned"])
+    def _collect(self, outs, base: int) -> list[StreamFrame]:
+        # fetch the two packed metadata tensors first; the payload bits
+        # (the only large array) are fetched only when frames exist. Every
+        # fetch is a host<->device round trip on this runtime — this is
+        # the whole step's host cost.
+        meta_i = np.asarray(outs["meta_i"])
+        self.rescued += int(meta_i[0, 3])
+        owned = meta_i[:, 1].astype(bool)
         if not owned.any():
             return []
+        meta_f = np.asarray(outs["meta_f"])
+        nb = self.spec.payload_bits_per_frame
+        payload = np.unpackbits(np.asarray(outs["payload"]),
+                                axis=-1)[:, :nb]
         idx = np.nonzero(owned)[0]
-        d = np.asarray(outs["d_global"])[idx]
-        order = np.argsort(d)
+        order = np.argsort(meta_i[idx, 2])
         res = []
         for i in idx[order]:
             res.append(StreamFrame(
-                start=int(np.asarray(outs["d_global"])[i]),
-                payload=np.asarray(outs["payload"][i]),
-                crc_ok=bool(np.asarray(outs["crc_ok"][i])),
-                eps=float(np.asarray(outs["eps"][i])),
-                evm_db=float(np.asarray(outs["evm_db"][i])),
+                start=base + int(meta_i[i, 2]),
+                payload=payload[i],
+                crc_ok=bool(meta_i[i, 0]),
+                eps=float(meta_f[i, 0]),
+                evm_db=float(meta_f[i, 1]),
             ))
         return res
 
@@ -146,7 +166,9 @@ class StreamRx:
         from ..core.platform import fetch
         leaves = {f.name: fetch(getattr(self.state, f.name))
                   for f in dc.fields(self.state)}
-        np.savez(path, __buf__=self._buf, **leaves)
+        # host step mirror saved as int64: the wrap-free global timebase
+        np.savez(path, __buf__=self._buf,
+                 __steps__=np.int64(self._steps), **leaves)
 
     def load_state(self, path: str) -> None:
         import dataclasses as dc
@@ -156,3 +178,5 @@ class StreamRx:
         kw = {f.name: z[f.name] for f in dc.fields(StreamState)}
         self.state = StreamState(**kw)
         self._buf = z["__buf__"]
+        self._steps = int(z["__steps__"]) if "__steps__" in z else int(
+            z["steps"])

@@ -80,7 +80,7 @@ def _reshard_demod(spec: WaveformSpec, frames, axis: str, t: int,
 
 
 def _track_retry(spec: WaveformSpec, frames, eps, shift: int, out: dict,
-                 state: StreamState):
+                 owned, state: StreamState):
     """TRACK-mode re-acquisition (SURVEY.md §5.3 ACQUIRE->TRACK; VERDICT r1
     item 5): slots whose own decode failed CRC are re-demodulated with the
     POD-TRACKED hypothesis — the psum'd EMA channel estimate in place of
@@ -106,8 +106,10 @@ def _track_retry(spec: WaveformSpec, frames, eps, shift: int, out: dict,
     def skip(_):
         return (out["payload"], jnp.zeros_like(ok0), out["evm_db"])
 
+    # retry only when an OWNED detection failed (empty/invalid slots fail
+    # CRC by construction and must not trigger the second pass)
     pay2, ok2, evm2 = jax.lax.cond(
-        jnp.any(~ok0) & have, retry, skip, operand=None)
+        jnp.any(owned & ~ok0) & have, retry, skip, operand=None)
     use2 = (~ok0) & have & ok2
     merged = dict(out)
     merged["payload"] = jnp.where(use2[:, None], pay2, out["payload"])
@@ -120,11 +122,13 @@ def _track_retry(spec: WaveformSpec, frames, eps, shift: int, out: dict,
 def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
                 threshold: float, ema: float, axis: str, pallas_halo: bool,
                 reshard: bool, track_mode: bool,
-                block, halo_fresh, state: StreamState):
+                block, halo_fresh, fresh_raw, state: StreamState):
     """Per-shard body inside shard_map.
 
-    block [Cb] — this shard's slice of the chunk;
-    halo_fresh [H] — the chunk's last H samples (for the last shard);
+    block [Cb] — this shard's slice of the chunk (AGC-scaled window);
+    halo_fresh [H] — the window's last H samples (the last shard's halo);
+    fresh_raw [H] — the same samples UNSCALED (next chunk's carried tail:
+    each window is AGC'd as a whole, so the tail must re-enter raw);
     state — replicated StreamState.
     """
     t = jax.lax.axis_size(axis)
@@ -160,7 +164,8 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
     n_rescued = jnp.int32(0)
     used = jnp.zeros(out["crc_ok"].shape, dtype=bool)
     if track_mode:
-        out, eps, used = _track_retry(spec, frames, eps, shift, out, state)
+        out, eps, used = _track_retry(spec, frames, eps, shift, out, owned,
+                                      state)
         n_rescued = jax.lax.psum(jnp.sum((used & owned).astype(jnp.int32)),
                                  axis)
     ok = out["crc_ok"] & owned
@@ -202,26 +207,46 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
     track_wt = state.track_wt + jnp.where(have, 1.0, 0.0)
 
     new_state = StreamState(
-        tail=halo_fresh,  # replicated; identical on every shard
+        tail=fresh_raw,  # replicated; identical on every shard
         rtail=state.rtail,  # updated outside shard_map (decimation stage)
         h_track=h_track,
         eps_track=eps_track,
         track_wt=track_wt,
-        samples=state.samples + cb * t,
+        steps=state.steps + 1,
         frames=state.frames + n_owned,
         crc_ok=state.crc_ok + n_ok,
     )
-    # global start offset of each detection (relative to stream sample 0)
-    base = state.samples - h + idx * cb
-    d_global = jnp.where(owned, ds + base, -1)
+    # start offset of each detection RELATIVE to this chunk's first sample
+    # (may be negative: a frame can begin in the carried tail). The host
+    # adds the unbounded chunk base (StreamRx), so the global timebase
+    # never wraps regardless of stream length.
+    d_rel = ds - h + idx * cb
+    # per-slot metadata PACKED into two arrays: every fetched array costs
+    # a host<->device round trip on this runtime (~30 ms through the
+    # tunnel), so the host reads exactly two small tensors plus the
+    # payload bits per step
+    meta_i = jnp.stack([ok.astype(jnp.int32), owned.astype(jnp.int32),
+                        d_rel,
+                        jnp.broadcast_to(n_rescued, ds.shape)], axis=-1)
+    meta_f = jnp.stack([eps, out["evm_db"]], axis=-1)
+    # payload bits packed 8-per-byte on device (np.unpackbits order): 8x
+    # less device->host traffic — the per-step fetch IS the streaming
+    # loop's host cost
+    pay = out["payload"]
+    nb = pay.shape[-1]
+    nb8 = -(-nb // 8) * 8
+    if nb8 != nb:
+        pay = jnp.concatenate(
+            [pay, jnp.zeros(pay.shape[:-1] + (nb8 - nb,), pay.dtype)],
+            axis=-1)
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+    packed = jnp.matmul(
+        pay.reshape(pay.shape[0], nb8 // 8, 8).astype(jnp.float32), w,
+        precision=jax.lax.Precision.HIGHEST).astype(jnp.uint8)
     outputs = {
-        "payload": out["payload"],      # [max_frames, bits] per shard
-        "crc_ok": ok,
-        "owned": owned,
-        "d_global": d_global,
-        "eps": eps,
-        "evm_db": out["evm_db"],
-        "rescued": n_rescued[None],     # psum'd scalar, same on all shards
+        "payload": packed,              # [max_frames, ceil(bits/8)] u8
+        "meta_i": meta_i,               # [max_frames, 4]
+        "meta_f": meta_f,               # [max_frames, 2]
     }
     # all_gather -> fully replicated outputs: the host can read them on any
     # process (multi-host pod) without extra transfers; they are tiny
@@ -235,7 +260,7 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
                      chunk_len: int, max_frames_per_shard: int | None = None,
                      threshold: float = 0.5, ema: float = 0.25,
                      pallas_halo: bool = False, reshard: bool = False,
-                     track_mode: bool = True):
+                     track_mode: bool = True, agc: bool = True):
     """Build the jitted sharded streaming step.
 
     Returns (step, cb, h): step(state, chunk [chunk_len]) -> (state, outs);
@@ -257,37 +282,50 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
 
     smapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("time"), P(), P()),
+        in_specs=(P("time"), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
 
-    l, nt1 = spec.resample_l, 0
-    if l > 1:
-        if spec.resample_m != 1:
-            raise NotImplementedError("streaming supports integer decimation")
+    l, m, nt1 = spec.resample_l, spec.resample_m, 0
+    if (l, m) != (1, 1):
         from ..phy import tables as _T
-        taps = _T.resample_filter(l, spec.resample_m)
+        taps = _T.resample_filter(l, m)
         nt1 = len(taps) - 1
+        assert (chunk_len * l) % m == 0, \
+            "chunk_len*L must divide by M (radio chunk must be integral)"
 
     def step(state: StreamState, chunk: jax.Array):
         import dataclasses as _dc
-        if l > 1:
-            # in-stream polyphase decimation (C4): the chunk arrives at the
-            # radio rate [C*l]; a causal valid-mode strided conv with the
-            # carried nt-1 radio samples gives the exact continuous
-            # filtering (GSPMD partitions the conv with automatic halos).
-            from ..kernels.conv_backend import polyphase_decim_stream
+        if (l, m) != (1, 1):
+            # in-stream rational resample (C4 and the general L/M case):
+            # the chunk arrives at the radio rate [C*l/m]; the causal
+            # strided correlation over the carried nt-1 radio samples
+            # gives the exact continuous resampling, and radio chunks are
+            # multiples of L so the polyphase phase pattern restarts each
+            # chunk (no phase state beyond the sample carry).
+            from ..kernels.conv_backend import rational_decim_stream
             w = jnp.concatenate([state.rtail, chunk])
-            baseband = polyphase_decim_stream(w, l, taps)
+            baseband = rational_decim_stream(w, l, m, taps)
             state = _dc.replace(state, rtail=chunk[-nt1:])
             chunk = baseband
         # processing window = tail ++ chunk, i.e. the stream delayed by H:
         # the sharded body covers window[:C] and the chunk's last H samples
         # ride along replicated as the final shard's halo AND the next tail.
-        body_part = jnp.concatenate([state.tail, chunk[: chunk_len - h]])
-        fresh = chunk[chunk_len - h:]
-        return smapped(body_part, fresh, state)
+        fresh_raw = chunk[chunk_len - h:]
+        window = jnp.concatenate([state.tail, chunk])
+        if agc:
+            # ONE gain per processing window (front-end AGC, SURVEY.md
+            # §2.1 #20): frames never straddle windows (the halo covers a
+            # whole frame), so no frame sees a gain step; the gain depends
+            # only on window content, so sharded == unsharded exactly; and
+            # tracked-H magnitudes stay comparable across level changes
+            # (the TRACK retry needs that). The carried tail re-enters RAW.
+            from ..phy.agc import agc_normalize
+            window, _ = agc_normalize(window)
+        body_part = window[: chunk_len]
+        fresh = window[chunk_len:]
+        return smapped(body_part, fresh, fresh_raw, state)
 
     from ..core import boundary
     if boundary.needs_planar():

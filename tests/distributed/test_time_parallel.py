@@ -178,3 +178,38 @@ def test_c4_radio_rate_stream_sharded():
     assert len(got1) == 3
     for a, b in zip(got, got1):
         assert a.start == b.start and np.array_equal(a.payload, b.payload)
+
+
+def test_rational_resample_stream_sharded():
+    """SURVEY.md §2.1 #19 general case: rational L/M = 8/3 radio rate in
+    the continuous stream — in-stream rational polyphase resampling with
+    the carried radio tail, sharded == single-device bit-exact."""
+    spec = config("c4").with_(n_data_syms=4, resample_l=8, resample_m=3)
+    r = rng_for("c4rat")
+    gm = GoldenModem(spec)
+    payloads = r.integers(0, 2, (3, spec.payload_bits_per_frame)).astype(np.uint8)
+    frames = np.stack([gm.modulate_frame(p) for p in payloads])
+    from ofdm_uhd_tpu.golden import resample as GR
+    h_proto = GR.design_lowpass(spec.resample_l, spec.resample_m)
+    parts = [np.zeros(4000, complex)]
+    for f in frames:
+        parts.append(GR.resample(f, spec.resample_l, spec.resample_m, h_proto))
+        parts.append(np.zeros(6000, complex))
+    stream = np.concatenate(parts)
+    noise = 0.003 * (rng_for("c4ratn").standard_normal(len(stream))
+                     + 1j * rng_for("c4ratn2").standard_normal(len(stream)))
+    stream = (stream + noise).astype(np.complex64)
+
+    h = spec.frame_len + spec.n_sc
+    cb = -(-max(h + 64, 2 * h) // 3) * 3
+    rx = StreamRx(spec, mesh=make_mesh(1, 4), chunk_len=4 * cb)
+    got = rx.process(stream) + rx.flush()
+    assert len(got) == 3, [g.start for g in got]
+    for g, p in zip(got, payloads):
+        assert g.crc_ok
+        assert np.array_equal(g.payload, p)
+    rx1 = StreamRx(spec, mesh=make_mesh(1, 1), chunk_len=rx.chunk_len)
+    got1 = rx1.process(stream) + rx1.flush()
+    assert len(got1) == 3
+    for a, b in zip(got, got1):
+        assert a.start == b.start and np.array_equal(a.payload, b.payload)

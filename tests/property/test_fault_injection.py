@@ -148,3 +148,50 @@ def test_track_mode_rescues_preamble_burst():
                if abs(g.start - (s - spec.sym_len)) <= spec.cp]
     assert len(rescued) == 1 and rescued[0].crc_ok
     assert np.array_equal(rescued[0].payload, payloads[burst_frame])
+
+
+def test_agc_extreme_levels_capture():
+    """Front-end AGC (SURVEY.md §2.1 #20): captures at raw-sc16 scale
+    (x3000) and heavy attenuation (x0.001) decode identically to unit
+    scale with the same threshold — the AGC lands every input in one
+    power regime before sync/CSI."""
+    spec = config("c3")
+    frames, payloads = _frames(spec, 2, 5)
+    stream = np.concatenate([np.zeros(300, complex), frames[0],
+                             np.zeros(500, complex), frames[1],
+                             np.zeros(300, complex)])
+    cap = apply_channel(stream, ChannelSpec(snr_db=25.0), spec.n_sc, seed=5)
+    rx = RxPipeline(spec)
+    for scale in (1.0, 3000.0, 1e-3):
+        out = rx.rx_capture((cap * scale).astype(np.complex64), max_frames=4)
+        assert np.asarray(out["crc_ok"])[:2].all(), scale
+        assert np.array_equal(np.asarray(out["payload"])[:2], payloads), scale
+
+
+def test_agc_level_drop_stream():
+    """A 20 dB level drop mid-stream (transmitter power step): frames on
+    both sides decode; the per-window AGC keeps the tracked channel
+    magnitudes comparable so TRACK-mode state stays sane across the step."""
+    import jax
+    from ofdm_uhd_tpu.channel import make_capture
+    from ofdm_uhd_tpu.pipeline.stream import StreamRx
+    from ofdm_uhd_tpu.shard.mesh import make_mesh
+
+    spec = config("c5")
+    n_fr, gap, offset = 8, 500, 700
+    frames, payloads = _frames(spec, n_fr, seed=11)
+    ch = ChannelSpec(snr_db=26.0, cfo=0.4, timing_offset=offset)
+    cap = make_capture(np.stack(frames), ch, spec.n_sc, gap=gap,
+                       seed=11).astype(np.complex64)
+    # drop to 0.1x from frame 4 onward (between frames, not mid-frame)
+    cut = offset + 4 * (spec.frame_len + gap) - gap // 2
+    cap[cut:] *= np.float32(0.1)
+
+    chunk = 4 * 2 * (spec.frame_len + spec.n_sc)
+    rx = StreamRx(spec, mesh=make_mesh(1, 4, devices=jax.devices()[:4]),
+                  chunk_len=chunk)
+    got = rx.process(cap) + rx.flush()
+    assert len(got) == n_fr
+    for g, p in zip(got, payloads):
+        assert g.crc_ok
+        assert np.array_equal(g.payload, p)
