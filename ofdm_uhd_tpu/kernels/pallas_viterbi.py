@@ -134,10 +134,97 @@ def _vit_kernel(e: int, la_ref, lb_ref, first_ref, tail_ref,
         jax.lax.fori_loop(0, e, bwd, state_f)
 
 
-def _run_windows(law, lbw, first, tail, e: int) -> jax.Array:
-    """law/lbw [e, R] time-major rows + per-row flags [R] -> bits [e, R]."""
+def _vit_kernel_shuffle(e: int, la_ref, lb_ref, first_ref, tail_ref,
+                        tblf_ref, pw_ref, bits_ref, dec_ref, pm_scr):
+    """v2 kernel: STATES on sublanes (64), window-rows on lanes (_TR=128).
+
+    vs the matmul kernel: the predecessor shuffle pred[p][s'] =
+    ((s'<<1)|p) & 63 becomes a SUBLANE-strided slice tiled twice (a cheap
+    vreg shuffle; lane-dim strides are unsupported but sublane strides
+    lower fine — probed on-chip), branch metrics broadcast from [64, 1]
+    sign columns, and decisions are BIT-PACKED over states into two int32
+    words per row ([e, 2, _TR] scratch = e KB), so all 128 lanes process
+    distinct windows in one pass with no MXU dependency chain and no row
+    sub-batching. Bit 31 rides the int32 sign bit (disjoint-bit adds are
+    exact; arithmetic shifts don't disturb (w >> k) & 1) — probed exact.
+
+    Numerics identical to the matmul kernel and phy.bits decoders: same
+    single-term f32 adds, same strict-'>' tie-break, same first-max
+    traceback entry.
+    """
+    neg = jnp.float32(-1e30)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (64, _TR), 0)
+    first = first_ref[0, :][None, :]                  # [1, _TR]
+    tail = tail_ref[0, :][None, :]
+    pm_scr[:] = jnp.where((s_iota != 0) & (first > 0.5), neg, 0.0)
+    sa0 = tblf_ref[:, 0:1]                            # [64, 1] sign cols
+    sa1 = tblf_ref[:, 1:2]
+    sb0 = tblf_ref[:, 2:3]
+    sb1 = tblf_ref[:, 3:4]
+    pw = pw_ref[:]                                    # [64, 1] 1<<(s%32)
+
+    def fwd(t, _):
+        la_t = la_ref[t, :][None, :]                  # [1, _TR]
+        lb_t = lb_ref[t, :][None, :]
+        # REF-level strided sublane reads: a strided slice of a loaded
+        # VALUE lowers as an unsupported gather, but strided ref reads
+        # lower fine (probed on-chip)
+        h0 = pm_scr[0::2, :]
+        h1 = pm_scr[1::2, :]
+        c0 = jnp.concatenate([h0, h0], axis=0) \
+            + 0.5 * (sa0 * la_t + sb0 * lb_t)
+        c1 = jnp.concatenate([h1, h1], axis=0) \
+            + 0.5 * (sa1 * la_t + sb1 * lb_t)
+        choice = c1 > c0                              # tie -> pred 0
+        pm_scr[:] = jnp.where(choice, c1, c0)
+        b = choice.astype(jnp.int32) * pw             # disjoint bits
+        w0 = jnp.sum(b[0:32], axis=0, keepdims=True)  # [1, _TR]
+        w1 = jnp.sum(b[32:64], axis=0, keepdims=True)
+        dec_ref[t] = jnp.concatenate([w0, w1], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, e, fwd, 0)
+
+    pm_f = pm_scr[:] + jnp.where((s_iota != 0) & (tail > 0.5), neg, 0.0)
+    mx = jnp.max(pm_f, axis=0, keepdims=True)
+    state_f = jnp.min(jnp.where(pm_f >= mx, s_iota, 64), axis=0,
+                      keepdims=True).astype(jnp.int32)   # [1, _TR]
+
+    def bwd(i, state):
+        t = e - 1 - i
+        bit = (state >> 5) & 1
+        dec_t = dec_ref[t]                            # [2, _TR]
+        word = jnp.where(state >= 32, dec_t[1:2, :], dec_t[0:1, :])
+        d = (word >> (state & 31)) & 1
+        bits_ref[t, :] = bit[0].astype(jnp.float32)
+        return ((state & 31) << 1) | d
+
+    jax.lax.fori_loop(0, e, bwd, state_f)
+
+
+@functools.lru_cache(maxsize=4)
+def _shuffle_consts() -> tuple[np.ndarray, np.ndarray]:
+    """([64, 8] f32 sign columns sa0|sa1|sb0|sb1, [64, 1] int32 bit values)."""
     sa, sb = _vit_consts()
-    p0, p1 = _perm_mats()
+    tblf = np.zeros((64, 8), np.float32)
+    tblf[:, 0] = sa[0]
+    tblf[:, 1] = sa[1]
+    tblf[:, 2] = sb[0]
+    tblf[:, 3] = sb[1]
+    pw = (np.uint32(1) << (np.arange(64, dtype=np.uint32) % 32)).astype(
+        np.uint32).view(np.int32).reshape(64, 1)
+    return tblf, pw
+
+
+def _run_windows(law, lbw, first, tail, e: int) -> jax.Array:
+    """law/lbw [e, R] time-major rows + per-row flags [R] -> bits [e, R].
+
+    Kernel choice via OFDM_VIT_IMPL: 'shuffle' (default — states on
+    sublanes, bit-packed decisions) or 'mm' (one-hot-matmul variant, the
+    proven fallback).
+    """
+    import os
+    impl = os.environ.get("OFDM_VIT_IMPL", "shuffle")
     r = law.shape[1]
     pad = (-r) % _TR
     if pad:
@@ -153,6 +240,25 @@ def _run_windows(law, lbw, first, tail, e: int) -> jax.Array:
     spec_flag = pl.BlockSpec((1, _TR), lambda i: (0, i), memory_space=vmem)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=vmem)
+    if impl == "shuffle":
+        tblf, pw = _shuffle_consts()
+        bits = pl.pallas_call(
+            functools.partial(_vit_kernel_shuffle, e),
+            grid=(rt // _TR,),
+            in_specs=[spec_col, spec_col, spec_flag, spec_flag,
+                      full((64, 8)), full((64, 1))],
+            out_specs=spec_col,
+            out_shape=jax.ShapeDtypeStruct((e, rt), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((e, 2, _TR), jnp.int32),
+                pltpu.VMEM((64, _TR), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(law, lbw, jnp.asarray(first[None, :]), jnp.asarray(tail[None, :]),
+          jnp.asarray(tblf), jnp.asarray(pw))
+        return bits[:, :r]
+    sa, sb = _vit_consts()
+    p0, p1 = _perm_mats()
     bits = pl.pallas_call(
         functools.partial(_vit_kernel, e),
         grid=(rt // _TR,),
