@@ -31,32 +31,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _halo_kernel(time_axis: str, frame_axis: str | None,
                  in_ref, out_ref, send_sem, recv_sem):
+    """Uniform ring: every shard sends its head to (i-1) mod t and waits
+    for its own send + receive. Symmetric participation keeps the DMA
+    semaphore accounting uniform (the asymmetric pl.when send/recv split
+    aborted the interpret-mode runtime); the wrap-around payload shard
+    t-1 receives from shard 0 is overwritten by the caller with the fresh
+    chunk tail, exactly like the ppermute path's zero fill."""
     my_id = jax.lax.axis_index(time_axis)
     t = jax.lax.axis_size(time_axis)
-    coords = ((jax.lax.axis_index(frame_axis), my_id - 1)
-              if frame_axis else (my_id - 1,))
-
-    @pl.when(my_id > 0)
-    def _send():
-        copy = pltpu.make_async_remote_copy(
-            src_ref=in_ref,
-            dst_ref=out_ref,
-            send_sem=send_sem,
-            recv_sem=recv_sem,
-            device_id=coords,
-            device_id_type=pltpu.DeviceIdType.MESH,
-        )
-        copy.start()
-        copy.wait_send()
-
-    @pl.when(my_id < t - 1)
-    def _recv():
-        pltpu.make_async_remote_copy(
-            src_ref=in_ref, dst_ref=out_ref,
-            send_sem=send_sem, recv_sem=recv_sem,
-            device_id=coords,
-            device_id_type=pltpu.DeviceIdType.MESH,
-        ).wait_recv()
+    dst = jax.lax.rem(my_id - 1 + t, t)
+    # 1-D meshes take a SCALAR device id (a 1-tuple trips a tracer==tuple
+    # comparison inside the DMA machinery); 2-D meshes take mesh coords
+    coords = ((jax.lax.axis_index(frame_axis), dst)
+              if frame_axis else dst)
+    copy = pltpu.make_async_remote_copy(
+        src_ref=in_ref,
+        dst_ref=out_ref,
+        send_sem=send_sem,
+        recv_sem=recv_sem,
+        device_id=coords,
+        device_id_type=pltpu.DeviceIdType.MESH,
+    )
+    copy.start()
+    copy.wait()
 
 
 def halo_from_right_pallas(head: jax.Array, time_axis: str = "time",

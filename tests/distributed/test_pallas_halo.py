@@ -9,13 +9,15 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
-
-from ofdm_uhd_tpu.shard.mesh import make_mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def test_pallas_halo_matches_ppermute():
-    mesh = make_mesh(1, 8)
+    # 1-D mesh: the interpret-mode DMA path supports single-named-dim
+    # meshes only ("Meshes with more than 1 named dimension not
+    # implemented in dma_start_p"); the RDMA semantics under test are
+    # mesh-rank-independent.
+    mesh = Mesh(np.array(jax.devices()[:8]), ("time",))
     h = 128
     rng = np.random.default_rng(0)
     x = (rng.standard_normal((8 * h,)) + 1j * rng.standard_normal((8 * h,))
@@ -29,7 +31,7 @@ def test_pallas_halo_matches_ppermute():
 
     def via_pallas(block):
         from ofdm_uhd_tpu.kernels.pallas_halo import halo_from_right_pallas
-        return halo_from_right_pallas(block[:h], "time",
+        return halo_from_right_pallas(block[:h], "time", frame_axis=None,
                                       interpret=jax.default_backend() != "tpu")
 
     ref = jax.jit(jax.shard_map(via_ppermute, mesh=mesh, in_specs=P("time"),
