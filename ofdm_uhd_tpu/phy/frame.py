@@ -12,6 +12,8 @@ through the K1 kernel (XLA or Pallas backend).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -93,23 +95,25 @@ def ofdm_demodulate(spec: WaveformSpec, samples: jax.Array,
 
 
 def _smooth_occ(h: jax.Array, width: int) -> jax.Array:
-    """Edge-renormalized MA over the occupied-bin axis (golden twin)."""
+    """Edge-renormalized MA over the occupied-bin axis (golden twin).
+
+    Small dense matmul (n_occ x n_occ banded-with-renorm matrix) — this
+    backend's 1-D convs are pathologically slow (kernels/conv_backend)."""
     if width <= 1:
         return h
     import numpy as np
     n = h.shape[-1]
-    den = np.convolve(np.ones(n), np.ones(width), mode="same").astype(np.float32)
-    k = jnp.ones((1, 1, width), dtype=jnp.float32)
-    pad = [(width // 2, width - 1 - width // 2)]
-
-    def conv(p):  # [B, n] real plane
-        y = jax.lax.conv_general_dilated(
-            p[:, None, :], k, window_strides=(1,), padding=pad,
-            dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
-        return y / jnp.asarray(den)
-
-    return (conv(jnp.real(h).astype(jnp.float32))
-            + 1j * conv(jnp.imag(h).astype(jnp.float32))).astype(h.dtype)
+    den = np.convolve(np.ones(n), np.ones(width), mode="same")
+    m = np.zeros((n, n), dtype=np.float32)
+    lo = width // 2
+    for j in range(n):
+        a = max(0, j - lo)
+        b = min(n, j + (width - 1 - lo) + 1)
+        m[a:b, j] = 1.0 / den[j]
+    mj = jnp.asarray(m)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return (mm(jnp.real(h).astype(jnp.float32), mj)
+            + 1j * mm(jnp.imag(h).astype(jnp.float32), mj)).astype(h.dtype)
 
 
 def estimate_channel(spec: WaveformSpec, grid_rx: jax.Array) -> jax.Array:
