@@ -132,3 +132,36 @@ def test_qam256_loopback_bit_exact():
     assert all(g.crc_ok for g in gold)
     assert np.array_equal(np.stack([g.payload for g in gold]),
                           np.asarray(out["payload"]))
+
+
+def test_rx_capture_sc16_matches_fc32():
+    """Radio-native sc16 int16 IQ input (UHD wire format, on-device
+    conversion) decodes the same frames as the fc32 path; quantization at
+    full scale is ~-90 dB, far below channel noise."""
+    import numpy as np
+    from ofdm_uhd_tpu.core.spec import config, ChannelSpec
+    from ofdm_uhd_tpu.channel import make_capture
+    from ofdm_uhd_tpu.golden import GoldenModem
+    from ofdm_uhd_tpu.pipeline import RxPipeline
+
+    spec = config("c3")
+    rng = np.random.default_rng(17)
+    gm = GoldenModem(spec)
+    pays = rng.integers(0, 2, (4, spec.payload_bits_per_frame)).astype(np.uint8)
+    frames = np.stack([gm.modulate_frame(p) for p in pays])
+    ch = ChannelSpec(snr_db=26.0, cfo=0.6, timing_offset=200)
+    cap = make_capture(frames, ch, spec.n_sc, gap=400,
+                       seed=17).astype(np.complex64)
+    planes = np.stack([cap.real, cap.imag])
+    iq = np.round(planes * (32767.0 / np.max(np.abs(planes)))).astype(np.int16)
+
+    rx = RxPipeline(spec, diag=False)
+    o16 = rx.rx_capture_sc16(iq, max_frames=6)
+    o32 = rx.rx_capture(cap, max_frames=6)
+    for o in (o16, o32):
+        assert np.asarray(o["crc_ok"])[:4].all()
+        assert np.array_equal(np.asarray(o["payload"])[:4], pays)
+    # batched [2, C, n] form
+    iq2 = np.stack([iq, iq], axis=1)          # [2, 2, n]
+    ob = rx.rx_capture_sc16(iq2, max_frames=6)
+    assert np.asarray(ob["crc_ok"])[:, :4].all()
