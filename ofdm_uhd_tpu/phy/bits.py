@@ -254,18 +254,23 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
 # ---------------------------------------------------------------- interleaver
 
 def interleave(coded: jax.Array, n_cbps: int) -> jax.Array:
-    """Per-symbol block interleave on [..., n_syms*n_cbps]."""
-    perm, inv = T.interleave_tables(n_cbps)
-    blocks = coded.reshape(coded.shape[:-1] + (-1, n_cbps))
-    out = jnp.take(blocks, jnp.asarray(inv), axis=-1)
-    return out.reshape(coded.shape)
+    """Per-symbol block interleave on [..., n_syms*n_cbps].
+
+    The row-column permutation perm[k] = (n_cbps/16)*(k%16) + k//16 IS a
+    16 x (n_cbps/16) transpose — a reshape+swapaxes, not a gather (this
+    backend's gathers are slow and occasionally miscompile). Bit-identical
+    to golden.bits.interleave (roundtrip + golden-match tested).
+    """
+    n16 = n_cbps // 16
+    blocks = coded.reshape(coded.shape[:-1] + (-1, n16, 16))
+    return jnp.swapaxes(blocks, -1, -2).reshape(coded.shape)
 
 
 def deinterleave(bits: jax.Array, n_cbps: int) -> jax.Array:
-    perm, inv = T.interleave_tables(n_cbps)
-    blocks = bits.reshape(bits.shape[:-1] + (-1, n_cbps))
-    out = jnp.take(blocks, jnp.asarray(perm), axis=-1)
-    return out.reshape(bits.shape)
+    """Inverse of interleave: the opposite transpose."""
+    n16 = n_cbps // 16
+    blocks = bits.reshape(bits.shape[:-1] + (-1, 16, n16))
+    return jnp.swapaxes(blocks, -1, -2).reshape(bits.shape)
 
 
 deinterleave_soft = deinterleave  # same gather, applied to LLRs
