@@ -94,8 +94,10 @@ def bench_backend(spec, caps, payloads, backend, iters=8, budget=1500):
     rx = RxPipeline(spec.with_(**overrides), diag=False)
     if fmt == "sc16":
         iq = _to_sc16(caps)
-        # distinct buffers (anti result-caching); identical content is fine
-        xs = [device_put_planar(iq.copy()) for _ in range(2)]
+        # distinct buffers AND distinct content (anti result-caching): the
+        # second buffer differs by 1 LSB everywhere (XOR of bit 0 — a
+        # -110 dB perturbation the decode is oblivious to)
+        xs = [device_put_planar(iq), device_put_planar(iq ^ np.int16(1))]
         run = functools.partial(rx.rx_capture_sc16, max_frames=mf)
     else:
         xs = [device_put_planar(caps * np.float32(1.0 + 1e-6 * i))
@@ -111,6 +113,11 @@ def bench_backend(spec, caps, payloads, backend, iters=8, budget=1500):
         exact = bool(np.array_equal(bits, payloads))
         evm = float(np.mean(np.asarray(out["evm_db"])[:, :n_frames]))
         log(f"# {backend}: EVM {evm:.1f} dB over {n_caps}x{n_frames} frames")
+        # warm EVERY argset before timing (metrics.timed_loop protocol):
+        # device_put uploads lazily on this runtime, so an untouched
+        # second buffer would pay its host->device transfer inside the
+        # timed region
+        np.asarray(run(xs[1])["crc_ok"])
         t0 = time.perf_counter()
         # keep every iteration's output alive and fetch a small leaf from
         # each: the runtime may cancel computations whose outputs die

@@ -73,11 +73,16 @@ class WaveformSpec:
     sfo_track: bool = False        # pilot phase-SLOPE tracking (SFO/timing drift)
     eq_mode: str = "zf"            # 'zf' | 'mmse' (noise var from guard bins)
     tx_window: int = 0             # raised-cosine edge taper (samples, < cp/2)
-    kernel_backend: str = "xla"    # 'xla' | 'pallas'
+    kernel_backend: str = "xla"    # 'xla' | 'pallas' | 'auto' (per-kernel
+                                   # measured winner — kernels/policy.py)
     viterbi_mode: str = "scan"     # 'scan' (exact sequential) | 'windowed'
                                    # (sliding-window parallel, ~10x lower
                                    # latency; exact when survivors merge
                                    # within the 96-step overlap)
+    viterbi_impl: str = "shuffle"  # Pallas kernel layout: 'shuffle' (states
+                                   # on sublanes, bit-packed decisions) |
+                                   # 'mm' (one-hot-matmul fallback); static
+                                   # spec field so changing it re-jits
 
     def __post_init__(self):
         if self.modulation not in MOD_BITS:
@@ -86,6 +91,10 @@ class WaveformSpec:
             raise ValueError(f"unknown fec_rate {self.fec_rate!r}")
         if self.viterbi_mode not in ("scan", "windowed"):
             raise ValueError(f"unknown viterbi_mode {self.viterbi_mode!r}")
+        if self.kernel_backend not in ("xla", "pallas", "auto"):
+            raise ValueError(f"unknown kernel_backend {self.kernel_backend!r}")
+        if self.viterbi_impl not in ("shuffle", "mm"):
+            raise ValueError(f"unknown viterbi_impl {self.viterbi_impl!r}")
         if self.n_occupied == 0:
             object.__setattr__(self, "n_occupied", _default_occupied(self.n_sc))
         if self.n_occupied >= self.n_sc:

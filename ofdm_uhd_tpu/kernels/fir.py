@@ -15,11 +15,12 @@ import jax
 import numpy as np
 
 from . import conv_backend
+from .policy import choose
 
 
 def fir_filter(x: jax.Array, taps, backend: str = "xla") -> jax.Array:
     """'Same'-aligned real-taps FIR of complex signals, [..., n] -> [..., n]."""
-    if backend == "pallas":
+    if choose("fir", len(taps), backend) == "pallas":
         from .pallas_fir import fir_pallas
         return fir_pallas(x, np.asarray(taps, dtype=np.float32))
     return conv_backend.fir_same(x, taps)
@@ -32,7 +33,7 @@ def polyphase_interp(x: jax.Array, l: int, taps: np.ndarray,
     taps: prototype low-pass (host numpy; gain-l compensation applied
     internally). Twin of golden.resample.resample(x, l, 1).
     """
-    if backend == "pallas":
+    if choose("interp", l, backend) == "pallas":
         from .pallas_fir import polyphase_interp_pallas
         return polyphase_interp_pallas(x, l, np.asarray(taps))
     return conv_backend.polyphase_interp_xla(x, l, taps)
@@ -44,7 +45,7 @@ def polyphase_decim(x: jax.Array, m: int, taps: np.ndarray,
 
     Twin of golden.resample.resample(x, 1, m).
     """
-    if backend == "pallas":
+    if choose("decim", m, backend) == "pallas":
         from .pallas_fir import polyphase_decim_pallas
         return polyphase_decim_pallas(x, m, np.asarray(taps))
     return conv_backend.polyphase_decim_xla(x, m, taps)

@@ -216,15 +216,16 @@ def _shuffle_consts() -> tuple[np.ndarray, np.ndarray]:
     return tblf, pw
 
 
-def _run_windows(law, lbw, first, tail, e: int) -> jax.Array:
+def _run_windows(law, lbw, first, tail, e: int,
+                 impl: str = "shuffle") -> jax.Array:
     """law/lbw [e, R] time-major rows + per-row flags [R] -> bits [e, R].
 
-    Kernel choice via OFDM_VIT_IMPL: 'shuffle' (default — states on
-    sublanes, bit-packed decisions) or 'mm' (one-hot-matmul variant, the
-    proven fallback).
+    impl: 'shuffle' (default — states on sublanes, bit-packed decisions)
+    or 'mm' (one-hot-matmul variant, the proven fallback). Plumbed from
+    WaveformSpec.viterbi_impl — a static spec field, so two pipelines in
+    one process can use different kernels and changes re-jit by design
+    (an env var read at trace time would be silently frozen).
     """
-    import os
-    impl = os.environ.get("OFDM_VIT_IMPL", "shuffle")
     r = law.shape[1]
     pad = (-r) % _TR
     if pad:
@@ -278,7 +279,8 @@ def _run_windows(law, lbw, first, tail, e: int) -> jax.Array:
 
 
 def viterbi_pallas_windowed(llr: jax.Array, window: int = 256,
-                            overlap: int = 64) -> jax.Array:
+                            overlap: int = 64,
+                            impl: str = "shuffle") -> jax.Array:
     """Windowed-parallel Viterbi, fused per-window in Pallas.
 
     Same sliding-window construction as phy.bits.viterbi_decode_windowed
@@ -292,7 +294,7 @@ def viterbi_pallas_windowed(llr: jax.Array, window: int = 256,
     l, ov = window, overlap
     e = l + 2 * ov
     if n <= e:
-        return viterbi_pallas(llr)
+        return viterbi_pallas(llr, impl=impl)
     w = -(-n // l)
     starts = np.clip(np.arange(w) * l - ov, 0, n - e)        # [W] static
 
@@ -307,7 +309,7 @@ def viterbi_pallas_windowed(llr: jax.Array, window: int = 256,
     first = np.tile((starts == 0).astype(np.float32), bsz)   # [B*W]
     tail = np.tile((starts + e == n).astype(np.float32), bsz)
 
-    bits = _run_windows(law, lbw, first, tail, e)
+    bits = _run_windows(law, lbw, first, tail, e, impl=impl)
     bits_bwe = bits.T.reshape(bsz, w, e)
     off = np.arange(w) * l - starts                          # [W] static
     owned = jnp.concatenate(
@@ -315,22 +317,28 @@ def viterbi_pallas_windowed(llr: jax.Array, window: int = 256,
     return owned[:, :n].astype(jnp.uint8)
 
 
-def viterbi_pallas(llr: jax.Array) -> jax.Array:
+def viterbi_pallas(llr: jax.Array, impl: str = "shuffle") -> jax.Array:
     """Soft-input rate-1/2 K=7 Viterbi; llr [B, 2n] -> bits [B, n] uint8.
 
-    Whole-sequence fused decode when the decision scratch fits VMEM
-    (n <= ~1.5k); otherwise the windowed-parallel kernel. The trellis is
-    padded to a multiple of 8 steps (sublane constraint) with
-    certainty-of-zero LLRs: the encoder is tail-terminated in state 0, and
-    appended zero-input steps keep the optimal path in state 0, so the
-    decisions for the true steps are unchanged and the pad bits are
-    dropped.
+    Whole-sequence fused decode when the per-tile VMEM footprint fits
+    (decision scratch + the la/lb/bits column blocks; ~16 MB VMEM/core);
+    otherwise the windowed-parallel kernel. The gate is per-impl: the
+    shuffle kernel's [e, 2, 128] int32 decision scratch is 8x smaller than
+    the mm kernel's [e, 32, 64] f32, so it decodes up to ~2.4k-step
+    trellises whole-sequence (vs ~600 for mm). The trellis is padded to a
+    multiple of 8 steps (sublane constraint) with certainty-of-zero LLRs:
+    the encoder is tail-terminated in state 0, and appended zero-input
+    steps keep the optimal path in state 0, so the decisions for the true
+    steps are unchanged and the pad bits are dropped.
     """
     bsz, n2 = llr.shape
     n = n2 // 2
     e = -(-n // 8) * 8
-    if e * _SUB * 64 * 4 > 6 * 1024 * 1024:
-        return viterbi_pallas_windowed(llr)
+    # per-trellis-step VMEM bytes per tile: decision scratch + the three
+    # [e, _TR] f32 column blocks (la, lb, bits)
+    dec_bytes = 2 * _TR * 4 if impl == "shuffle" else _SUB * 64 * 4
+    if e * (dec_bytes + 3 * _TR * 4) > 6 * 1024 * 1024:
+        return viterbi_pallas_windowed(llr, impl=impl)
     la = llr[:, 0::2].astype(jnp.float32).T      # [n, B] time sublane-major
     lb = llr[:, 1::2].astype(jnp.float32).T
     if e != n:
@@ -338,5 +346,5 @@ def viterbi_pallas(llr: jax.Array) -> jax.Array:
         la = jnp.concatenate([la, padrows])
         lb = jnp.concatenate([lb, padrows])
     ones = np.ones(bsz, np.float32)
-    bits = _run_windows(la, lb, ones, ones, e)
+    bits = _run_windows(la, lb, ones, ones, e, impl=impl)
     return bits[:n].T.astype(jnp.uint8)

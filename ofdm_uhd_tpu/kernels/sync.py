@@ -57,7 +57,8 @@ def _moving_sum(x: jax.Array, win: int) -> jax.Array:
 def sc_correlate(r: jax.Array, l: int, backend: str = "xla"
                  ) -> tuple[jax.Array, jax.Array]:
     """r [..., n] complex -> (P [..., nd], R [..., nd]), nd = n - 2l + 1."""
-    if backend == "pallas":
+    from .policy import choose
+    if choose("sc_corr", l, backend) == "pallas":
         from .pallas_sync import sc_correlate_pallas
         return sc_correlate_pallas(r, l)
     prod = jnp.conj(r[..., :-l]) * r[..., l:]        # s[n], length n-l

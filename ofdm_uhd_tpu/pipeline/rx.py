@@ -162,9 +162,13 @@ def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:
     llr_d = PB.deinterleave_soft(llr, spec.coded_bits_per_sym)
     llr_d = PB.depuncture_llr(llr_d, spec.fec_rate,
                               2 * spec.uncoded_bits_per_frame)
+    # 'auto' resolves to the XLA decoders here: at the batched-capture
+    # sizes the headline runs, the scan/windowed paths measure >= the
+    # fused kernel (kernels/policy.py table); 'pallas' forces the fused
+    # kernel (it wins the latency/single-capture regime).
     if spec.kernel_backend == "pallas":
         from ..kernels.pallas_viterbi import viterbi_pallas
-        decoded = viterbi_pallas(llr_d)
+        decoded = viterbi_pallas(llr_d, impl=spec.viterbi_impl)
     elif spec.viterbi_mode == "windowed":
         decoded = PB.viterbi_decode_windowed(llr_d)
     else:

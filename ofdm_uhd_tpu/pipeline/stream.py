@@ -175,8 +175,24 @@ class StreamRx:
         z = np.load(path)
         # host leaves: they cross the executable boundary on the next step
         # (complex must not be device-resident there — core/boundary.py)
-        kw = {f.name: z[f.name] for f in dc.fields(StreamState)}
+        kw = {}
+        for f in dc.fields(StreamState):
+            if f.name in z:
+                kw[f.name] = z[f.name]
+            elif f.name == "steps" and "samples" in z:
+                # pre-rename checkpoints carried a device-side sample
+                # count; steps = samples // chunk_len (always integral:
+                # the counter only advanced by whole chunks)
+                kw[f.name] = np.int32(int(z["samples"]) // self.chunk_len)
+            else:
+                raise ValueError(
+                    f"incompatible checkpoint {path!r}: missing StreamState "
+                    f"field {f.name!r} (has {sorted(z.files)})")
         self.state = StreamState(**kw)
         self._buf = z["__buf__"]
-        self._steps = int(z["__steps__"]) if "__steps__" in z else int(
-            z["steps"])
+        if "__steps__" in z:
+            self._steps = int(z["__steps__"])
+        elif "steps" in z:
+            self._steps = int(z["steps"])
+        else:
+            self._steps = int(z["samples"]) // self.chunk_len
