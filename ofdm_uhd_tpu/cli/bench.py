@@ -28,6 +28,12 @@ def main(argv=None):
                         "int16 IQ, 4x less host->device traffic)")
     p.add_argument("--chunk", type=int, default=None,
                    help="stream-mode chunk length in baseband samples")
+    p.add_argument("--ksteps", type=int, default=8,
+                   help="stream-mode chunks per dispatch (device-resident "
+                        "lax.scan; amortizes the per-step host round trip)")
+    p.add_argument("--no-track", action="store_true",
+                   help="stream-mode: disable the TRACK-mode retry pass "
+                        "(for quantifying its cost)")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace (Perfetto) here")
     p.add_argument("--jsonl", default=None, help="append results to JSONL")
@@ -119,9 +125,12 @@ def _bench_stream(args, spec, payloads, ch):
     fr = np.asarray(platform.fetch(TxPipeline(spec)(payloads)))
     cap = make_capture(fr, ch, spec.n_sc, gap=300,
                        seed=args.seed).astype(np.complex64)
-    rx = StreamRx(spec, chunk_len=args.chunk)
-    # pad the tail so every iteration feeds whole chunks (steady state)
-    pad = (-len(cap)) % rx.radio_chunk
+    rx = StreamRx(spec, chunk_len=args.chunk,
+                  steps_per_dispatch=args.ksteps,
+                  track_mode=not args.no_track)
+    # pad the tail so every iteration feeds whole K-groups of chunks
+    # (steady state: every dispatch in the timed loop is the K-step one)
+    pad = (-len(cap)) % (rx.radio_chunk * args.ksteps)
     cap = np.concatenate([cap, np.zeros(pad, np.complex64)])
 
     got = rx.process(cap)                      # compile + warmup pass
@@ -141,6 +150,8 @@ def _bench_stream(args, spec, payloads, ch):
         "device": jax.devices()[0].device_kind,
         "n_devices": rx.mesh.size,
         "chunk_len": rx.chunk_len,
+        "ksteps": args.ksteps,
+        "track_mode": not args.no_track,
         "msamples_per_s": round(sps / 1e6, 3),
         "frames_per_s": round(n_ok / dt, 1),
         "frames_ok": n_ok, "frames": args.frames * args.iters,

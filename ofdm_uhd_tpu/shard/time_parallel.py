@@ -263,9 +263,18 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
                      track_mode: bool = True, agc: bool = True):
     """Build the jitted sharded streaming step.
 
-    Returns (step, cb, h): step(state, chunk [chunk_len]) -> (state, outs);
+    Returns (step, multi, cb, h):
+      step(state, chunk [chunk_len])        -> (state, outs)
+      multi(state, chunks [K, chunk_len])   -> (state, outs with leading [K])
     chunk_len must be divisible by the 'time' axis size and each block must
     be >= the halo (Cb >= H so the ppermute payload exists).
+
+    `multi` is the device-resident K-step path (VERDICT r2 item 1): one
+    dispatch runs a lax.scan over K chunks with the carried StreamState,
+    so the per-step host round trip — ~0.3 s of fetch latency through the
+    axon tunnel vs ~27 ms of compute — amortizes K-fold. K is a trace-time
+    shape (jit caches one executable per distinct K); numerics are the
+    single-step path's exactly (the scan body IS `step`).
     """
     t = mesh.shape["time"]
     assert chunk_len % t == 0, "chunk_len must divide over the time axis"
@@ -327,19 +336,35 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
         fresh = window[chunk_len:]
         return smapped(body_part, fresh, fresh_raw, state)
 
+    def multi(state: StreamState, chunks: jax.Array):
+        # chunks [K, radio_chunk]: K sequential stream steps in ONE
+        # executable — the carry (StreamState, complex leaves included)
+        # never crosses the host boundary between steps
+        return jax.lax.scan(step, state, chunks)
+
     from ..core import boundary
     if boundary.needs_planar():
         # complex-free executable signature (core/boundary.py): the chunk
-        # arrives as a Planar (2, C) pair sharded over time on dim 1; the
-        # carried state's complex leaves ride as Planar planes too.
+        # arrives as a Planar (2, C) pair sharded over time on dim 1
+        # ((2, K, C) on dim 2 for the K-step path); the carried state's
+        # complex leaves ride as Planar planes too.
         pair_sh = boundary.Planar(NamedSharding(mesh, P(None, "time")))
+        pair_sh_k = boundary.Planar(NamedSharding(mesh, P(None, None, "time")))
         jitted = jax.jit(boundary.planarize(step),
                          in_shardings=(None, pair_sh))
+        jitted_k = jax.jit(boundary.planarize(multi),
+                           in_shardings=(None, pair_sh_k))
 
         def call(state, chunk):
             return jitted(boundary.encode_host(state),
                           boundary.encode_host(chunk))
 
-        return call, cb, h
-    chunk_sharding = NamedSharding(mesh, P("time"))
-    return jax.jit(step, in_shardings=(None, chunk_sharding)), cb, h
+        def call_k(state, chunks):
+            return jitted_k(boundary.encode_host(state),
+                            boundary.encode_host(chunks))
+
+        return call, call_k, cb, h
+    return (jax.jit(step, in_shardings=(None, NamedSharding(mesh, P("time")))),
+            jax.jit(multi,
+                    in_shardings=(None, NamedSharding(mesh, P(None, "time")))),
+            cb, h)
