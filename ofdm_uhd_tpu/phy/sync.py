@@ -30,8 +30,31 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     """capture [n] -> (d [max_frames] i32, eps [max_frames] f32, valid [max_frames] bool).
 
     d = estimated first sample of each frame; eps = fractional CFO in
-    subcarrier spacings from angle(P)/pi. Mirrors golden.sync.coarse_sync
-    slot-by-slot (first-crossing + local plateau midpoint - cp/2).
+    subcarrier spacings from angle(P)/pi. Same first-crossing + local
+    plateau midpoint - cp/2 rule as golden.sync.coarse_sync, anchored at
+    rising edges of the above-threshold mask.
+
+    PARALLEL formulation (VERDICT r2 item 3a): round 2's hierarchical
+    search still ran max_frames (~130 for the C3 bench capture) SEQUENTIAL
+    lax.scan iterations, each doing a 512-wide block probe + span-wide
+    plateau localization — ~15-25 ms of pure loop latency per capture.
+    Here the data-dependent chain is split into
+      1. candidate enumeration: rising edges of (M >= threshold), compacted
+         to the first `max_cand` indices with one top_k — O(n) parallel;
+      2. per-candidate plateau localization + CFO: a vmapped slot body,
+         all candidates at once;
+      3. greedy spacing selection (next kept candidate >= prev d +
+         frame_len — the same advance rule the sequential slot scan
+         applied): a lax.scan of ~6 SCALAR ops per candidate, microseconds
+         total.
+    Equivalence to the sequential rule: for frames separated by
+    below-threshold gaps (any real stream: the S&C plateau spans ~cp
+    samples around each preamble and the metric collapses over data/idle
+    regions), the sequential "first crossing >= pos" IS the next rising
+    edge, so selections and d values are identical. For back-to-back
+    frames the anchor may shift a few samples within the same plateau —
+    both anchors localize the same plateau and land within the CP window
+    (the chain's shift tolerance; property tests gate this).
     """
     l = spec.n_sc // 2
     n = capture.shape[-1]
@@ -42,59 +65,59 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     # pad so dynamic_slice windows never clamp
     m_pad = jnp.concatenate([m, jnp.zeros(span, m.dtype)])
 
-    # Hierarchical first-crossing search (VERDICT r1 item 1a): the naive
-    # slot body masked + argmax'd the FULL metric (O(nd) per slot, ~130
-    # sequential full-capture passes — it dominated the chain wall-clock).
-    # Precompute per-block occupancy once; each slot then searches its
-    # partial start block (O(blk)) plus the block summary (O(nb)).
-    # Bit-identical to the flat search: the first above-threshold index
-    # >= pos is either in pos's own block or is the first occupied block
-    # after it.
-    blk = 512
-    nb = -(-nd // blk)
-    above = jnp.concatenate(
-        [m >= threshold, jnp.zeros(nb * blk - nd, dtype=bool)])
-    ab = above.reshape(nb, blk)
-    block_any = jnp.any(ab, axis=1)                          # [nb]
-    first_in_block = jnp.argmax(ab, axis=1).astype(jnp.int32)
-    bidx = jnp.arange(nb, dtype=jnp.int32)
-    iblk = jnp.arange(blk, dtype=jnp.int32)
+    above = m >= threshold
+    rise = above & ~jnp.concatenate(
+        [jnp.zeros(1, dtype=bool), above[:-1]])
+    # first max_cand rising-edge indices, ascending (top_k of the negated
+    # index; sentinel nd = "no candidate"). Capacity: one real edge per
+    # frame plus margin for noise-induced re-crossings at plateau edges;
+    # data-region metric ~O(1/L) almost never crosses a 0.5 threshold.
+    max_cand = min(4 * max_frames + 16, nd)
+    idx = jnp.where(rise, jnp.arange(nd, dtype=jnp.int32), jnp.int32(nd))
+    cand = -jax.lax.top_k(-idx, max_cand)[0]                 # [max_cand]
+    found_c = cand < nd
 
-    def first_crossing(pos):
-        """Smallest d >= pos with m[d] >= threshold; (0, False) if none
-        (matching argmax-of-empty-mask in the flat form)."""
-        pb = jnp.minimum(pos // blk, nb - 1)
-        off = pos - pb * blk          # >= blk when pos is past the end
-        inblk = jax.lax.dynamic_slice(above, (pb * blk,), (blk,))
-        inmask = (iblk >= off) & inblk
-        found1 = jnp.any(inmask)
-        c1 = pb * blk + jnp.argmax(inmask).astype(jnp.int32)
-        later = (bidx > pb) & block_any
-        found2 = jnp.any(later)
-        b2 = jnp.argmax(later).astype(jnp.int32)
-        fib = jax.lax.dynamic_slice(first_in_block, (b2,), (1,))[0]
-        first = jnp.where(found1, c1, b2 * blk + fib)
-        found = found1 | found2
-        return jnp.where(found, first, 0), found
-
-    def slot(pos, _):
-        first, found = first_crossing(pos)
-        w = jax.lax.dynamic_slice(m_pad, (first,), (span,))
+    def localize(c):
+        w = jax.lax.dynamic_slice(m_pad, (c,), (span,))
         peak_off = jnp.argmax(w).astype(jnp.int32)
-        peak_val = w[peak_off]
-        above = w >= rel * peak_val
-        lo = jnp.argmax(above).astype(jnp.int32)
-        hi = span - 1 - jnp.argmax(above[::-1]).astype(jnp.int32)
-        d = first + (lo + hi) // 2 - spec.cp // 2
+        peak_val = jnp.max(w)
+        ab = w >= rel * peak_val
+        lo = jnp.argmax(ab).astype(jnp.int32)
+        hi = span - 1 - jnp.argmax(ab[::-1]).astype(jnp.int32)
+        d = c + (lo + hi) // 2 - spec.cp // 2
         d = jnp.maximum(d, 0)
-        eps = jnp.angle(p[jnp.minimum(first + peak_off, nd - 1)]) / jnp.pi
-        valid = found & (d + spec.frame_len <= n)
-        pos_next = jnp.where(valid, d + spec.frame_len, jnp.int32(nd))
-        return pos_next, (d, eps.astype(jnp.float32), valid)
+        pv = jax.lax.dynamic_slice(p, (jnp.minimum(c + peak_off, nd - 1),),
+                                   (1,))[0]
+        eps = jnp.angle(pv) / jnp.pi
+        return d, eps.astype(jnp.float32)
 
-    _, (ds, epss, valids) = jax.lax.scan(slot, jnp.int32(0), None,
-                                         length=max_frames)
-    return ds, epss, valids
+    ds_c, eps_c = jax.vmap(localize)(cand)
+    valid_c = found_c & (ds_c + spec.frame_len <= n)
+
+    def sel(carry, x):
+        pos, dead = carry
+        c, d, v, f = x
+        elig = f & (c >= pos) & ~dead
+        keep = elig & v
+        # an eligible-but-invalid detection (frame runs past the capture
+        # end) halts the search, mirroring the sequential pos_next = nd
+        dead = dead | (elig & ~v)
+        pos = jnp.where(keep, d + spec.frame_len, pos)
+        return (pos, dead), keep
+
+    (_, _), keeps = jax.lax.scan(
+        sel, (jnp.int32(0), jnp.zeros((), dtype=bool)),
+        (cand, ds_c, valid_c, found_c))
+
+    # compact kept candidates into the max_frames output slots in order:
+    # slot j <- the j-th kept candidate (gather-free one-hot mask sums)
+    rank = jnp.cumsum(keeps.astype(jnp.int32)) - 1           # [max_cand]
+    slot_oh = (rank[None, :] == jnp.arange(max_frames, dtype=jnp.int32)
+               [:, None]) & keeps[None, :]                   # [mf, max_cand]
+    ds = jnp.sum(jnp.where(slot_oh, ds_c[None, :], 0), axis=1)
+    epss = jnp.sum(jnp.where(slot_oh, eps_c[None, :], 0.0), axis=1)
+    valids = jnp.any(slot_oh, axis=1)
+    return ds.astype(jnp.int32), epss.astype(jnp.float32), valids
 
 
 def extract_frames(spec: WaveformSpec, capture: jax.Array,
@@ -133,14 +156,26 @@ def _int_cfo_tables(spec: WaveformSpec, search: int):
 
 
 def integer_cfo(spec: WaveformSpec, frames: jax.Array,
-                search: int = 4) -> jax.Array:
+                search: int = 4, eps_pre: jax.Array | None = None
+                ) -> jax.Array:
     """Integer CFO per frame [B] from preamble sym B (differential corr).
 
     Twin of golden.sync.integer_cfo, vectorized over frames and shifts.
+
+    eps_pre [B]: fractional CFO to derotate BEFORE the search, applied to
+    the sym-B window only (VERDICT r2 item 3b): the caller then applies
+    ONE full-frame ramp at eps_pre + k instead of two sequential ramps —
+    the window ramp is n_sc samples per frame vs frame_len, and the phase
+    values exp(-j*2*pi*eps*(start + i)/n_sc) are bit-identical to slicing
+    a full-frame cfo_correct, so k is unchanged.
     """
     sel, ref, shifts, n_s, n_occ = _int_cfo_tables(spec, search)
     start = spec.sym_len + spec.cp
     win = jax.lax.slice_in_dim(frames, start, start + spec.n_sc, axis=-1)
+    if eps_pre is not None:
+        nidx = jnp.arange(start, start + spec.n_sc, dtype=jnp.float32)
+        phase = 2.0 * jnp.pi * eps_pre[:, None] * nidx[None, :] / spec.n_sc
+        win = win * jnp.exp(-1j * phase).astype(jnp.complex64)
     y = jnp.fft.fft(win, norm="ortho").astype(jnp.complex64)   # [B, n_sc]
     selj = jnp.asarray(sel)
     ys = ((jnp.real(y) @ selj) + 1j * (jnp.imag(y) @ selj)).astype(

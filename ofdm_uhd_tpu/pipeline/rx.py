@@ -217,12 +217,13 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
     ds, eps_f, valid = PS.detect_frames(spec, capture, max_frames,
                                         threshold=threshold)
     frames = PS.extract_frames(spec, capture, ds)
-    frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
-    k = PS.integer_cfo(spec, frames)
+    # fused CFO: the integer search derotates only its own sym-B window by
+    # eps_f, then ONE full-frame ramp applies the composed total — the
+    # ramps compose analytically, so the second full-frame exp/multiply
+    # pass of the two-step form is saved (VERDICT r2 item 3b)
+    k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
     eps = eps_f + k.astype(jnp.float32)
-    # residual integer-CFO ramp composes with the fractional one already
-    # applied (k = 0 -> identity); no branch needed
-    frames = PS.cfo_correct(frames, eps - eps_f, spec.n_sc)
+    frames = PS.cfo_correct(frames, eps, spec.n_sc)
     out = _demod_frames(spec, frames, shift=min(4, spec.cp // 4), diag=diag)
     out.update({"d": ds, "eps": eps, "valid": valid,
                 "crc_ok": out["crc_ok"] & valid})

@@ -152,10 +152,11 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
                                         threshold=threshold)
     owned = valid & (ds < cb)
     frames = PS.extract_frames(spec, ext, ds)
-    frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
-    k = PS.integer_cfo(spec, frames)
+    # fused CFO (see pipeline/rx.py): window-local derotation for the
+    # integer search + one composed full-frame ramp
+    k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
     eps = eps_f + k.astype(jnp.float32)
-    frames = PS.cfo_correct(frames, eps - eps_f, spec.n_sc)
+    frames = PS.cfo_correct(frames, eps, spec.n_sc)
     shift = min(4, spec.cp // 4)
     if reshard:
         out = _reshard_demod(spec, frames, axis, t, shift)
