@@ -37,11 +37,20 @@ def main():
     dev = jax.devices()[0].device_kind
     log(f"# device={dev}")
     results = []
+    PEAK_HBM_GBS = 819.0  # v5e HBM peak (bench/roofline.py anchor)
 
-    def ab(name, fn_x, fn_p, arrs, check_atol, work_samples):
-        """arrs: list of >=2 host inputs; asserts pallas==xla within atol."""
+    def ab(name, fn_x, fn_p, arrs, check_atol, work_samples, bytes_io=None):
+        """arrs: list of >=2 host inputs; asserts pallas==xla within atol.
+
+        bytes_io: HBM bytes one iteration MUST move (inputs read + outputs
+        written, the algorithm-independent minimum) — reported as achieved
+        GB/s and % of the 819 GB/s chip peak, the kernel-granularity
+        speed-of-light accounting BASELINE.md's roofline row prescribes.
+        """
         xs = [device_put_planar(a) for a in arrs]
         row = {"kernel": name, "device": dev}
+        if bytes_io is not None:
+            row["bytes_io"] = int(bytes_io)
         try:
             ref = np.asarray(jit_planar(fn_x)(xs[0]))
         except Exception as e:
@@ -59,9 +68,17 @@ def main():
                 row[f"{tag}_ms"] = round(dt * 1e3, 3)
                 row[f"{tag}_msps"] = round(work_samples / dt / 1e6, 1)
                 row[f"{tag}_maxerr"] = err
+                gbs_txt = ""
+                if bytes_io is not None:
+                    gbs = bytes_io / dt / 1e9
+                    row[f"{tag}_gbs"] = round(gbs, 1)
+                    row[f"{tag}_pct_sol"] = round(100 * gbs / PEAK_HBM_GBS, 1)
+                    gbs_txt = (f"  {gbs:7.1f} GB/s"
+                               f" ({100 * gbs / PEAK_HBM_GBS:5.1f}% SoL)")
                 ok = err <= check_atol
                 log(f"# {name:<16} {tag:<6} {dt*1e3:8.2f} ms  "
-                    f"{work_samples/dt/1e6:9.1f} Msps  maxerr {err:.2e}"
+                    f"{work_samples/dt/1e6:9.1f} Msps{gbs_txt}  "
+                    f"maxerr {err:.2e}"
                     f"{'' if ok else '  **EXCEEDS ATOL**'}")
             except Exception as e:
                 row[f"{tag}_error"] = f"{type(e).__name__}: {str(e)[:160]}"
@@ -78,7 +95,39 @@ def main():
         arrs = [x * np.float32(1 + 1e-6 * i) for i in range(2)]
         ab(f"fft-{n}", lambda v, n=n: kfft(v, backend="xla"),
            lambda v, n=n: kfft(v, backend="pallas"), arrs,
-           check_atol=2e-5 * np.sqrt(n), work_samples=b * n)
+           check_atol=2e-5 * np.sqrt(n), work_samples=b * n,
+           bytes_io=16 * b * n)
+
+    # ---- fused CP-strip FFT / IFFT+CP vs the slice+fft / ifft+concat
+    # forms the chain otherwise runs (VERDICT r2 item 4: make the Pallas
+    # tier win at the sizes the chain actually uses) ----
+    from ofdm_uhd_tpu.kernels.pallas_fft import (cp_strip_fft_pallas,
+                                                 ifft_cp_pallas)
+    for n, cp, b in ((64, 16, 8192), (256, 32, 4160)):
+        sl, start = n + cp, cp - min(4, cp // 4)
+        x = (rng.normal(size=(b, sl)) + 1j * rng.normal(size=(b, sl))
+             ).astype(np.complex64)
+        arrs = [x * np.float32(1 + 1e-6 * i) for i in range(2)]
+        ab(f"cpfft-{n}",
+           lambda v, n=n, s=start: kfft(
+               jax.lax.slice_in_dim(v, s, s + n, axis=-1), backend="xla"),
+           lambda v, n=n, s=start: cp_strip_fft_pallas(v, s, n), arrs,
+           check_atol=2e-5 * np.sqrt(n), work_samples=b * n,
+           bytes_io=8 * b * (sl + n))
+        g = (rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))
+             ).astype(np.complex64)
+        garrs = [g * np.float32(1 + 1e-6 * i) for i in range(2)]
+
+        from ofdm_uhd_tpu.kernels.fft import ifft as kfft_i
+
+        def ifft_concat(v, cp=cp):
+            y = kfft_i(v, backend="xla")
+            return jnp.concatenate([y[..., -cp:], y], axis=-1)
+
+        ab(f"ifftcp-{n}", ifft_concat,
+           lambda v, cp=cp: ifft_cp_pallas(v, cp), garrs,
+           check_atol=2e-5 * np.sqrt(n), work_samples=b * n,
+           bytes_io=8 * b * (sl + n))
 
     # ---- FIR / polyphase ----
     from ofdm_uhd_tpu.kernels import fir as K2
@@ -90,20 +139,20 @@ def main():
     arrs = [x * np.float32(1 + 1e-6 * i) for i in range(2)]
     ab("fir-97t", lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: K2.fir_filter(v, taps, backend="pallas"), arrs,
-       check_atol=1e-3, work_samples=n)
+       check_atol=1e-3, work_samples=n, bytes_io=16 * n)
     ab("decim-8x", lambda v: K2.polyphase_decim(v, 8, taps, backend="xla"),
        lambda v: K2.polyphase_decim(v, 8, taps, backend="pallas"), arrs,
-       check_atol=1e-3, work_samples=n)
+       check_atol=1e-3, work_samples=n, bytes_io=9 * n)
     xs_small = [a[: n // 8] for a in arrs]
     ab("interp-8x", lambda v: K2.polyphase_interp(v, 8, taps, backend="xla"),
        lambda v: K2.polyphase_interp(v, 8, taps, backend="pallas"), xs_small,
-       check_atol=1e-3, work_samples=n)
+       check_atol=1e-3, work_samples=n, bytes_io=9 * n)
 
     # ---- S&C correlator ----
     from ofdm_uhd_tpu.kernels.sync import sc_correlate, sc_metric
     ab("sc-corr-128", lambda v: sc_metric(*sc_correlate(v, 128, "xla")),
        lambda v: sc_metric(*sc_correlate(v, 128, "pallas")), arrs,
-       check_atol=1e-2, work_samples=n)
+       check_atol=1e-2, work_samples=n, bytes_io=12 * n)
 
     # ---- Viterbi at C3 flagship length (n=6912) ----
     from ofdm_uhd_tpu.phy.bits import (conv_encode, viterbi_decode,
@@ -117,9 +166,9 @@ def main():
            + rng.normal(0, 0.5, coded.shape)).astype(np.float32)
     arrs = [llr * np.float32(1 + 1e-5 * i) for i in range(2)]
     ab("viterbi-6912", viterbi_decode, viterbi_pallas, arrs,
-       check_atol=0, work_samples=bsz * nb)
+       check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb)
     ab("viterbi-win-6912", viterbi_decode_windowed, None, arrs,
-       check_atol=0, work_samples=bsz * nb)
+       check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb)
 
     if args.jsonl:
         lg = JsonlLogger(args.jsonl)

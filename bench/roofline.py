@@ -51,11 +51,50 @@ def chain_costs(spec) -> list[tuple[str, float, float]]:
     return stages
 
 
+# measured-profile cross-check: which chain_costs stages make up each
+# bench/stages.py timing row (the capture-path rows; frontend/decode run on
+# mf extracted frames = mf * frame_len samples)
+_STAGE_GROUPS = {
+    "corr": (["sync_correlate"], "capture"),
+    "det+ext": (["sync_correlate", "cfo_mix"], "capture"),
+    "frontend": (["fft", "eq_phase", "llr_demap"], "frames"),
+    "decode": (["viterbi"], "frames"),
+}
+
+
+def crosscheck(spec, rec) -> None:
+    """Model-vs-measured per stage group: is the cost model (and therefore
+    the chain speed-of-light number derived from it) anchored to reality?
+    rec: last record of bench/stages.py --jsonl (VERDICT r2 item 5)."""
+    stages = dict((nm, (f, b)) for nm, f, b in chain_costs(spec))
+    batch = rec.get("batch", 1)
+    n_cap = rec["n_samples"] * batch
+    n_frames = rec["mf"] * rec["frame_len"] * batch
+    print(f"\ncross-check vs measured profile ({rec.get('device')}, "
+          f"batch={batch}):")
+    print(f"{'stage':<10}{'model ms':>10}{'meas ms':>10}{'meas/model':>12}")
+    for row, (parts, basis) in _STAGE_GROUPS.items():
+        ms = rec["stages_ms"].get(row)
+        if ms is None:
+            continue
+        nsamp = n_cap if basis == "capture" else n_frames
+        f = sum(stages[p][0] for p in parts)
+        b = sum(stages[p][1] for p in parts)
+        t_model = max(f * nsamp / (PEAK_F32_TFLOPS * 1e12),
+                      b * nsamp / (PEAK_HBM_GBS * 1e9)) * 1e3
+        print(f"{row:<10}{t_model:>10.2f}{ms:>10.2f}{ms / t_model:>11.1f}x")
+    print("(meas/model includes the per-dispatch floor; large ratios on "
+          "tiny-model stages are dispatch latency, not model error)")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="c3")
     p.add_argument("--msps", type=float, default=None,
                    help="measured Msamples/s to compare against the roofline")
+    p.add_argument("--stages-jsonl", default=None,
+                   help="bench/stages.py --jsonl output; cross-checks the "
+                        "cost model against the measured per-stage profile")
     args = p.parse_args()
     spec = C.load_spec(args.config)
     stages = chain_costs(spec)
@@ -76,6 +115,12 @@ def main():
     if args.msps:
         print(f"measured {args.msps:,.1f} Msamples/s = "
               f"{100 * args.msps / sol:.1f}% of speed-of-light")
+    if args.stages_jsonl:
+        import json
+        with open(args.stages_jsonl) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+        recs = [r for r in recs if r.get("config") == args.config] or recs
+        crosscheck(spec, recs[-1])
 
 
 if __name__ == "__main__":

@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="captures per dispatch (vmapped)")
     ap.add_argument("--config", default="c3")
+    ap.add_argument("--jsonl", default=None,
+                    help="append the per-stage profile (ms) as one JSONL "
+                         "record — bench/roofline.py --stages-jsonl "
+                         "cross-checks its cost model against it")
     args = ap.parse_args()
 
     import os
@@ -117,11 +121,12 @@ def main():
     stage("detect", detect, [(x,) for x in xs])
 
     def _extract(c):
+        # mirrors pipeline/rx._rx_capture: fused window-local derotation
+        # for the integer search + one composed full-frame ramp
         ds, eps_f, valid = PS.detect_frames(spec, c, mf)
         frames = PS.extract_frames(spec, c, ds)
-        frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
-        k = PS.integer_cfo(spec, frames)
-        return PS.cfo_correct(frames, k, spec.n_sc)
+        k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
+        return PS.cfo_correct(frames, eps_f + k, spec.n_sc)
     stage("det+ext", jit_planar(_extract), [(x,) for x in xs])
 
     # aligned frames for the back half
@@ -155,6 +160,16 @@ def main():
 
     tot = results.get("full", 0.0)
     log(f"# stage sum (corr..decode along capture path) vs full={tot*1e3:.2f} ms")
+
+    if args.jsonl:
+        from ofdm_uhd_tpu.metrics import JsonlLogger
+        JsonlLogger(args.jsonl).log({
+            "config": args.config, "backend": args.backend,
+            "device": jax.devices()[0].device_kind,
+            "n_samples": n, "batch": args.batch, "frames": args.frames,
+            "mf": mf, "frame_len": spec.frame_len,
+            "stages_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
+        })
 
 
 if __name__ == "__main__":

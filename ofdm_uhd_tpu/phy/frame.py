@@ -54,10 +54,17 @@ def ofdm_modulate(spec: WaveformSpec, grid: jax.Array) -> jax.Array:
     add over the symbol axis instead of a loop).
     """
     import numpy as np
-    x = K1.ifft(grid, backend=spec.kernel_backend)
-    with_cp = jnp.concatenate([x[..., -spec.cp:], x], axis=-1)
+    from ..kernels.policy import choose
     w = spec.tx_window
     b = grid.shape[0]
+    if (w <= 0 and spec.n_sc <= 512 and spec.cp > 0
+            and choose("ifftcp", spec.n_sc, spec.kernel_backend) == "pallas"):
+        # fused IFFT + CP-insertion kernel: one matmul writes each
+        # CP-prefixed symbol row, no concat pass (kernels/pallas_fft.py)
+        from ..kernels.pallas_fft import ifft_cp_pallas
+        return ifft_cp_pallas(grid, spec.cp).reshape(b, spec.frame_len)
+    x = K1.ifft(grid, backend=spec.kernel_backend)
+    with_cp = jnp.concatenate([x[..., -spec.cp:], x], axis=-1)
     if w <= 0:
         return with_cp.reshape(b, spec.frame_len)
     assert 2 * w <= spec.cp, "tx_window must be <= cp/2"
@@ -87,9 +94,16 @@ def ofdm_demodulate(spec: WaveformSpec, samples: jax.Array,
     `shift` advances the FFT window into the CP (absorbed by the EQ, same as
     golden.modem.ofdm_demodulate).
     """
+    from ..kernels.policy import choose
     b = samples.shape[0]
     syms = samples[:, : spec.frame_len].reshape(b, spec.n_syms, spec.sym_len)
     start = spec.cp - shift
+    if (spec.n_sc <= 512 and spec.sym_len % 8 == 0
+            and choose("cpfft", spec.n_sc, spec.kernel_backend) == "pallas"):
+        # fused CP-strip + FFT kernel: reads the raw symbol rows, the
+        # strip lives in zero rows of the DFT matrix (kernels/pallas_fft.py)
+        from ..kernels.pallas_fft import cp_strip_fft_pallas
+        return cp_strip_fft_pallas(syms, start, spec.n_sc)
     win = jax.lax.slice_in_dim(syms, start, start + spec.n_sc, axis=-1)
     return K1.fft(win, backend=spec.kernel_backend)
 

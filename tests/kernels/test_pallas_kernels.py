@@ -41,6 +41,26 @@ def test_pallas_fft_matches_numpy(n):
     np.testing.assert_allclose(yi, refi, atol=2e-4 * np.sqrt(n))
 
 
+@pytest.mark.parametrize("n,cp", [(64, 16), (256, 32), (512, 64)])
+def test_pallas_fused_cp_fft(n, cp):
+    """CP-strip-FFT and IFFT-CP fused into the DFT matrix must match the
+    slice+fft / ifft+concat forms (kernels/pallas_fft._build_fused)."""
+    from ofdm_uhd_tpu.kernels.pallas_fft import (cp_strip_fft_pallas,
+                                                 ifft_cp_pallas)
+    r = rng_for(f"cpfft{n}")
+    sl = n + cp
+    x = crand(r, 3, 14, sl)
+    start = cp - min(4, cp // 4)
+    y = np.asarray(cp_strip_fft_pallas(x, start, n))
+    ref = np.fft.fft(x[..., start:start + n], norm="ortho", axis=-1)
+    np.testing.assert_allclose(y, ref, atol=2e-4 * np.sqrt(n))
+    g = crand(r, 3, 14, n)
+    yc = np.asarray(ifft_cp_pallas(g, cp))
+    xi = np.fft.ifft(g, norm="ortho", axis=-1)
+    refc = np.concatenate([xi[..., -cp:], xi], axis=-1)
+    np.testing.assert_allclose(yc, refc, atol=2e-4 * np.sqrt(n))
+
+
 def test_pallas_fft_parseval_and_linearity():
     r = rng_for("fftprop")
     x = crand(r, 3, 256)
