@@ -67,8 +67,8 @@ def halo_from_right_pallas(head: jax.Array, time_axis: str = "time",
     out = pl.pallas_call(
         functools.partial(_halo_kernel, time_axis, frame_axis),
         out_shape=jax.ShapeDtypeStruct((2, h), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=7),
