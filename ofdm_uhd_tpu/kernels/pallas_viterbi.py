@@ -106,8 +106,10 @@ def _vit_kernel(e: int, la_ref, lb_ref, first_ref, tail_ref,
             la_t = la_ref[t, lo:lo + _SUB][:, None]
             lb_t = lb_ref[t, lo:lo + _SUB][:, None]
             pm = pm_scr[:]
-            bm0 = 0.5 * (sa[0][None] * la_t + sb[0][None] * lb_t)
-            bm1 = 0.5 * (sa[1][None] * la_t + sb[1][None] * lb_t)
+            # no 0.5 scale — exact power-of-two metric scaling keeps every
+            # compare bit-identical (phy.bits.viterbi_decode.acs)
+            bm0 = sa[0][None] * la_t + sb[0][None] * lb_t
+            bm1 = sa[1][None] * la_t + sb[1][None] * lb_t
             c0 = _MM(pm, p0) + bm0
             c1 = _MM(pm, p1) + bm1
             choice = c1 > c0                          # tie -> pred 0
@@ -171,10 +173,12 @@ def _vit_kernel_shuffle(e: int, la_ref, lb_ref, first_ref, tail_ref,
         # lower fine (probed on-chip)
         h0 = pm_scr[0::2, :]
         h1 = pm_scr[1::2, :]
+        # no 0.5 scale on the branch metrics — exact power-of-two metric
+        # scaling keeps every compare bit-identical (phy.bits decoders)
         c0 = jnp.concatenate([h0, h0], axis=0) \
-            + 0.5 * (sa0 * la_t + sb0 * lb_t)
+            + (sa0 * la_t + sb0 * lb_t)
         c1 = jnp.concatenate([h1, h1], axis=0) \
-            + 0.5 * (sa1 * la_t + sb1 * lb_t)
+            + (sa1 * la_t + sb1 * lb_t)
         choice = c1 > c0                              # tie -> pred 0
         pm_scr[:] = jnp.where(choice, c1, c0)
         b = choice.astype(jnp.int32) * pw             # disjoint bits

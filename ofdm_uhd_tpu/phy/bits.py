@@ -125,8 +125,12 @@ def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
 
     def acs(pm, inputs):
         la_t, lb_t = inputs                                  # [B], [B]
-        bm = 0.5 * (sign_a[None] * la_t[:, None, None]
-                    + sign_b[None] * lb_t[:, None, None])    # [B, 2, 64]
+        # branch metric WITHOUT the conventional 0.5: scaling every metric
+        # by an exact power of two shifts exponents only (fl(2a + 2b) ==
+        # 2 fl(a + b)), so every compare/tie is bit-identical to the
+        # halved form while saving one vector multiply per trellis step
+        bm = (sign_a[None] * la_t[:, None, None]
+              + sign_b[None] * lb_t[:, None, None])          # [B, 2, 64]
         c0 = _pred_metric(pm, 0) + bm[:, 0]                  # [B, 64]
         c1 = _pred_metric(pm, 1) + bm[:, 1]
         choice = c1 > c0                                     # tie -> pred 0
@@ -215,8 +219,10 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
 
     def acs(pm, inputs):
         la_t, lb_t = inputs                                  # [B, W]
-        bm = 0.5 * (sign_a[None, None] * la_t[..., None, None]
-                    + sign_b[None, None] * lb_t[..., None, None])
+        # no 0.5 scale — exact power-of-two metric scaling, see
+        # viterbi_decode.acs
+        bm = (sign_a[None, None] * la_t[..., None, None]
+              + sign_b[None, None] * lb_t[..., None, None])
         c0 = _pred_metric(pm, 0) + bm[..., 0, :]             # [B, W, 64]
         c1 = _pred_metric(pm, 1) + bm[..., 1, :]
         choice = c1 > c0
