@@ -166,12 +166,13 @@ def main():
         f"{n_frames} frames each, device={device}")
 
     # health gate with cold-boot allowance: a freshly booted axon tunnel
-    # takes ~400 s for its FIRST round trip (measured 2026-08-19: 396 s
-    # cold, then 1 s warm), while a wedged one hangs forever. Give the
-    # first attempt a cold-boot-sized budget, then one warm retry, before
-    # failing over to CPU.
+    # takes ~400-670 s for its FIRST round trip (measured 2026-08-19: 396 s
+    # cold then 1 s warm; 2026-08-21: 668 s cold then 155 s from a new
+    # process), while a wedged one hangs forever. Give the first attempt a
+    # cold-boot-sized budget, then one warm retry, before failing over to
+    # CPU.
     healthy = False
-    for attempt, budget in enumerate((480, 120)):
+    for attempt, budget in enumerate((900, 300)):
         signal.alarm(budget)
         t0 = time.perf_counter()
         try:

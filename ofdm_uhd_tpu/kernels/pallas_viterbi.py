@@ -107,11 +107,12 @@ def _vit_kernel(e: int, la_ref, lb_ref, first_ref, tail_ref,
             lb_t = lb_ref[t, lo:lo + _SUB][:, None]
             pm = pm_scr[:]
             # no 0.5 scale — exact power-of-two metric scaling keeps every
-            # compare bit-identical (phy.bits.viterbi_decode.acs)
+            # compare bit-identical (phy.bits.viterbi_decode.acs); bm1 ==
+            # -bm0 exactly (both generator polys tap the oldest register
+            # bit — phy.bits.viterbi_decode), halving the bm arithmetic
             bm0 = sa[0][None] * la_t + sb[0][None] * lb_t
-            bm1 = sa[1][None] * la_t + sb[1][None] * lb_t
             c0 = _MM(pm, p0) + bm0
-            c1 = _MM(pm, p1) + bm1
+            c1 = _MM(pm, p1) - bm0
             choice = c1 > c0                          # tie -> pred 0
             pm_scr[:] = jnp.where(choice, c1, c0)
             dec_ref[t] = choice.astype(jnp.float32)
@@ -160,9 +161,7 @@ def _vit_kernel_shuffle(e: int, la_ref, lb_ref, first_ref, tail_ref,
     tail = tail_ref[0, :][None, :]
     pm_scr[:] = jnp.where((s_iota != 0) & (first > 0.5), neg, 0.0)
     sa0 = tblf_ref[:, 0:1]                            # [64, 1] sign cols
-    sa1 = tblf_ref[:, 1:2]
-    sb0 = tblf_ref[:, 2:3]
-    sb1 = tblf_ref[:, 3:4]
+    sb0 = tblf_ref[:, 2:3]    # (cols 1/3 hold sa1/sb1 == -sa0/-sb0, unused)
     pw = pw_ref[:]                                    # [64, 1] 1<<(s%32)
 
     def fwd(t, _):
@@ -174,11 +173,12 @@ def _vit_kernel_shuffle(e: int, la_ref, lb_ref, first_ref, tail_ref,
         h0 = pm_scr[0::2, :]
         h1 = pm_scr[1::2, :]
         # no 0.5 scale on the branch metrics — exact power-of-two metric
-        # scaling keeps every compare bit-identical (phy.bits decoders)
-        c0 = jnp.concatenate([h0, h0], axis=0) \
-            + (sa0 * la_t + sb0 * lb_t)
-        c1 = jnp.concatenate([h1, h1], axis=0) \
-            + (sa1 * la_t + sb1 * lb_t)
+        # scaling keeps every compare bit-identical (phy.bits decoders);
+        # bm1 == -bm0 exactly (both generator polys tap the oldest
+        # register bit), so one bm evaluation serves both candidates
+        bm0 = sa0 * la_t + sb0 * lb_t
+        c0 = jnp.concatenate([h0, h0], axis=0) + bm0
+        c1 = jnp.concatenate([h1, h1], axis=0) - bm0
         choice = c1 > c0                              # tie -> pred 0
         pm_scr[:] = jnp.where(choice, c1, c0)
         b = choice.astype(jnp.int32) * pw             # disjoint bits

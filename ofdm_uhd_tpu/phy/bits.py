@@ -106,8 +106,15 @@ def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
     vt = T.viterbi_tables()
     br_a = jnp.asarray(vt["br_a"])          # [2, 64] f32
     br_b = jnp.asarray(vt["br_b"])          # [2, 64] f32
-    sign_a = 1.0 - 2.0 * br_a               # +1 for out 0, -1 for out 1
-    sign_b = 1.0 - 2.0 * br_b
+    # +1 for out 0, -1 for out 1; only the p=0 row is needed: both
+    # generator polynomials include the oldest register bit (0o133/0o171
+    # are degree-6 with both end taps set), so flipping the predecessor
+    # bit flips BOTH outputs — bm[1, s] == -bm[0, s] for every s (asserted
+    # in tests/unit). c1 = pred1 - bm0 is bit-identical to pred1 + bm[1]
+    # (f32 negation is exact and rounding is sign-symmetric) and halves
+    # the branch-metric arithmetic per trellis step.
+    sign_a0 = (1.0 - 2.0 * br_a)[0]         # [64]
+    sign_b0 = (1.0 - 2.0 * br_b)[0]
 
     squeeze = llr.ndim == 1
     if squeeze:
@@ -129,10 +136,10 @@ def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
         # by an exact power of two shifts exponents only (fl(2a + 2b) ==
         # 2 fl(a + b)), so every compare/tie is bit-identical to the
         # halved form while saving one vector multiply per trellis step
-        bm = (sign_a[None] * la_t[:, None, None]
-              + sign_b[None] * lb_t[:, None, None])          # [B, 2, 64]
-        c0 = _pred_metric(pm, 0) + bm[:, 0]                  # [B, 64]
-        c1 = _pred_metric(pm, 1) + bm[:, 1]
+        bm0 = (sign_a0[None] * la_t[:, None]
+               + sign_b0[None] * lb_t[:, None])              # [B, 64]
+        c0 = _pred_metric(pm, 0) + bm0                       # [B, 64]
+        c1 = _pred_metric(pm, 1) - bm0
         choice = c1 > c0                                     # tie -> pred 0
         pm_new = jnp.where(choice, c1, c0)
         return pm_new, choice
@@ -181,8 +188,9 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
     `viterbi_decode` in tests/unit and by the bench correctness gate.
     """
     vt = T.viterbi_tables()
-    sign_a = 1.0 - 2.0 * jnp.asarray(vt["br_a"])
-    sign_b = 1.0 - 2.0 * jnp.asarray(vt["br_b"])
+    # p=0 row only — bm[1] == -bm[0] (see viterbi_decode)
+    sign_a0 = (1.0 - 2.0 * jnp.asarray(vt["br_a"]))[0]
+    sign_b0 = (1.0 - 2.0 * jnp.asarray(vt["br_b"]))[0]
 
     squeeze = llr.ndim == 1
     if squeeze:
@@ -221,10 +229,10 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
         la_t, lb_t = inputs                                  # [B, W]
         # no 0.5 scale — exact power-of-two metric scaling, see
         # viterbi_decode.acs
-        bm = (sign_a[None, None] * la_t[..., None, None]
-              + sign_b[None, None] * lb_t[..., None, None])
-        c0 = _pred_metric(pm, 0) + bm[..., 0, :]             # [B, W, 64]
-        c1 = _pred_metric(pm, 1) + bm[..., 1, :]
+        bm0 = (sign_a0 * la_t[..., None]
+               + sign_b0 * lb_t[..., None])                  # [B, W, 64]
+        c0 = _pred_metric(pm, 0) + bm0                       # [B, W, 64]
+        c1 = _pred_metric(pm, 1) - bm0
         choice = c1 > c0
         return jnp.where(choice, c1, c0), choice
 

@@ -40,6 +40,18 @@ def test_conv_encode_matches_golden():
     assert np.array_equal(out, ref)
 
 
+def test_viterbi_branch_metric_symmetry():
+    """bm[1, s] == -bm[0, s]: both generator polynomials (0o133/0o171) tap
+    the oldest register bit, so flipping the predecessor bit flips BOTH
+    encoder outputs. The decoders exploit this (c1 = pred1 - bm0); this
+    pins the table property they rely on."""
+    from ofdm_uhd_tpu.phy import tables as T
+    vt = T.viterbi_tables()
+    a, b = np.asarray(vt["br_a"]), np.asarray(vt["br_b"])
+    assert np.array_equal(a[1], 1 - a[0])
+    assert np.array_equal(b[1], 1 - b[0])
+
+
 def test_viterbi_matches_golden():
     r = rng_for("viterbi")
     n = 300
