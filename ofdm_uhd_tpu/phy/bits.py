@@ -80,6 +80,31 @@ def conv_encode(bits: jax.Array) -> jax.Array:
     return jnp.stack([out_a, out_b], axis=-1).reshape(bits.shape[:-1] + (2 * n,))
 
 
+def _pack_mat() -> jax.Array:
+    """[64, 4] f32: column g holds 1<<(s%16) for states s in group
+    g = s//16, zero elsewhere — one matmul packs a [..., 64] 0/1 decision
+    vector into four 16-bit words (sums of <=16 distinct powers of two,
+    < 2^24, so f32 accumulation is EXACT; inputs 0/1 and power-of-two
+    weights are exact in bf16 too, so any matmul precision is safe)."""
+    m = np.zeros((64, 4), np.float32)
+    s = np.arange(64)
+    m[s, s // 16] = (1 << (s % 16)).astype(np.float32)
+    return jnp.asarray(m)
+
+
+def _traceback_word(state: jax.Array, dec_t: jax.Array) -> jax.Array:
+    """dec_t [..., 4] packed decision words, state [...] -> decision bit.
+
+    Word/bit lookup replaces the 64-wide one-hot reduction of the naive
+    traceback (~15 VPU ops per step instead of ~192): the state's decision
+    lives at word state//16, bit state%16."""
+    g = state >> 4
+    w01 = jnp.where((g & 1) == 1, dec_t[..., 1], dec_t[..., 0])
+    w23 = jnp.where((g & 1) == 1, dec_t[..., 3], dec_t[..., 2])
+    w = jnp.where(g >= 2, w23, w01)
+    return (w >> (state & 15)) & 1
+
+
 def _pred_metric(pm: jax.Array, p: int) -> jax.Array:
     """pm[..., pred[p][s']] for all 64 successor states s'.
 
@@ -150,18 +175,19 @@ def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
     _, decisions = jax.lax.scan(acs, pm0, (la, lb),
                                 unroll=unroll)               # [n, B, 64] bool
 
-    states = jnp.arange(64, dtype=jnp.int32)
+    # pack decisions to 4x16-bit words per (t, b) in ONE MXU matmul (exact
+    # — see _pack_mat), so the sequential traceback reads 16 bytes/step
+    # instead of 64 and does a shift/mask instead of a 64-wide reduction
+    packed = (decisions.reshape(n * bsz, 64).astype(jnp.float32)
+              @ _pack_mat()).astype(jnp.int32).reshape(n, bsz, 4)
 
-    def traceback(state, dec_t):
+    def traceback(state, dec_t):                             # dec_t [B, 4]
         bit = (state >> 5) & 1                               # [B]
-        # gather-free read of dec_t[b, state[b]] via one-hot reduction
-        oh = (states[None, :] == state[:, None])
-        d = jnp.sum(jnp.where(oh, dec_t, False), axis=1)
-        state_new = ((state & 31) << 1) | d.astype(jnp.int32)
-        return state_new, bit
+        d = _traceback_word(state, dec_t)
+        return ((state & 31) << 1) | d, bit
 
     state0 = jnp.zeros(bsz, dtype=jnp.int32)
-    _, bits_rev = jax.lax.scan(traceback, state0, decisions, reverse=True,
+    _, bits_rev = jax.lax.scan(traceback, state0, packed, reverse=True,
                                unroll=unroll)
     bits = bits_rev.T.astype(jnp.uint8)                      # [B, n]
     return bits[0] if squeeze else bits
@@ -244,15 +270,17 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
                             force0[None, None, :], 0.0)
     state_f = jnp.argmax(pm_f, axis=-1).astype(jnp.int32)    # [B, W]
 
-    states = jnp.arange(64, dtype=jnp.int32)
+    # packed-word traceback (see viterbi_decode): one exact MXU matmul
+    # turns [E, B, W, 64] bool into [E, B, W, 4] 16-bit words
+    packed = (decisions.reshape(-1, 64).astype(jnp.float32)
+              @ _pack_mat()).astype(jnp.int32).reshape(e, bsz, w, 4)
 
     def traceback(state, dec_t):                             # state [B, W]
         bit = (state >> 5) & 1
-        oh = states[None, None, :] == state[..., None]
-        d = jnp.sum(jnp.where(oh, dec_t, False), axis=-1)
-        return ((state & 31) << 1) | d.astype(jnp.int32), bit
+        d = _traceback_word(state, dec_t)
+        return ((state & 31) << 1) | d, bit
 
-    _, bits_rev = jax.lax.scan(traceback, state_f, decisions, reverse=True,
+    _, bits_rev = jax.lax.scan(traceback, state_f, packed, reverse=True,
                                unroll=4)                     # [E, B, W]
     bits_ebw = bits_rev.astype(jnp.uint8)
 
