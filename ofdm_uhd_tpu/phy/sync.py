@@ -94,10 +94,22 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     ds_c, eps_c = jax.vmap(localize)(cand)
     valid_c = found_c & (ds_c + spec.frame_len <= n)
 
+    # eligibility slack: the anchor d = plateau_mid - cp/2 can overshoot its
+    # own rising edge by up to ~span, so for near-back-to-back frames
+    # (stride - frame_len < span, e.g. C4's 8x-decimated gap) pos = d +
+    # frame_len may land just PAST the next frame's only rising edge. The
+    # sequential rule this replaces fired on "first above-threshold sample
+    # >= pos" (mid-plateau), which tolerated that; the rising-edge
+    # candidate form needs the window widened by one symbol. Same-plateau
+    # re-crossings stay excluded: they lie within ~span of the kept edge,
+    # far inside frame_len - span for every real geometry (>= 3 symbols
+    # per frame).
+    slack = span
+
     def sel(carry, x):
         pos, dead = carry
         c, d, v, f = x
-        elig = f & (c >= pos) & ~dead
+        elig = f & (c >= pos - slack) & ~dead
         keep = elig & v
         # an eligible-but-invalid detection (frame runs past the capture
         # end) halts the search, mirroring the sequential pos_next = nd

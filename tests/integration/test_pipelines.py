@@ -105,6 +105,27 @@ def test_c4_resample_loopback():
     assert np.array_equal(np.asarray(out["payload"]), p)
 
 
+def test_capture_rx_near_back_to_back_frames():
+    """Frames separated by a gap SMALLER than the detection anchor jitter
+    (gap < sym_len): the greedy candidate selector must not skip alternate
+    frames. Regression for the C4 8x-decimation bench (radio gap 300 -> 37
+    baseband samples < the ~cp/2 anchor overshoot), where the rising-edge
+    form without eligibility slack dropped every other frame."""
+    spec = config("c2")
+    r = rng_for("b2b")
+    n = 8
+    p = payloads_for(spec, n, r)
+    gm = GoldenModem(spec)
+    frames = np.stack([gm.modulate_frame(x) for x in p])
+    ch = ChannelSpec(snr_db=28.0, cfo=0.2, timing_offset=50)
+    cap = make_capture(frames, ch, spec.n_sc, gap=8, seed=3)
+    out = RxPipeline(spec).rx_capture(cap.astype(np.complex64),
+                                      max_frames=n + 2)
+    assert int(np.asarray(out["valid"]).sum()) == n
+    assert np.asarray(out["crc_ok"])[:n].all()
+    assert np.array_equal(np.asarray(out["payload"])[:n], p)
+
+
 def test_capture_rx_noise_only_no_false_detects():
     spec = config("c3")
     r = rng_for("noise")
