@@ -33,7 +33,7 @@ def polyphase_interp(x: jax.Array, l: int, taps: np.ndarray,
     taps: prototype low-pass (host numpy; gain-l compensation applied
     internally). Twin of golden.resample.resample(x, l, 1).
     """
-    if choose("interp", l, backend) == "pallas":
+    if choose("interp", l, backend, n=x.size) == "pallas":
         from .pallas_fir import polyphase_interp_pallas
         return polyphase_interp_pallas(x, l, np.asarray(taps))
     return conv_backend.polyphase_interp_xla(x, l, taps)
@@ -45,7 +45,7 @@ def polyphase_decim(x: jax.Array, m: int, taps: np.ndarray,
 
     Twin of golden.resample.resample(x, 1, m).
     """
-    if choose("decim", m, backend) == "pallas":
+    if choose("decim", m, backend, n=x.size) == "pallas":
         from .pallas_fir import polyphase_decim_pallas
         return polyphase_decim_pallas(x, m, np.asarray(taps))
     return conv_backend.polyphase_decim_xla(x, m, taps)
