@@ -39,6 +39,29 @@ def main():
     results = []
     PEAK_HBM_GBS = 819.0  # v5e HBM peak (bench/roofline.py anchor)
 
+    import jax.numpy as _jnp
+    import jax as _jax
+
+    K_STACK, R_LO, R_HI = 8, 16, 144
+
+    def _loop_fn(fn):
+        """reps kernel applications inside ONE dispatch: fori_loop with a
+        TRACED trip count over K_STACK stacked perturbed inputs (cycled),
+        reducing each output into a scalar accumulator (keeps every
+        application live and sequential; distinct inputs defeat caching).
+        One executable serves every reps value, so the per-dispatch floor
+        is identical between timings and cancels exactly in the slope."""
+        def g(stacked, reps):
+            def body(i, c):
+                xi = _jax.tree.map(
+                    lambda s: _jax.lax.dynamic_index_in_dim(
+                        s, i % K_STACK, axis=0, keepdims=False), stacked)
+                y = fn(xi)
+                r = _jnp.real(y) if _jnp.iscomplexobj(y) else y
+                return c + _jnp.sum(r.ravel()[:128].astype(_jnp.float32))
+            return _jax.lax.fori_loop(0, reps, body, _jnp.float32(0))
+        return g
+
     def ab(name, fn_x, fn_p, arrs, check_atol, work_samples, bytes_io=None):
         """arrs: list of >=2 host inputs; asserts pallas==xla within atol.
 
@@ -46,8 +69,20 @@ def main():
         written, the algorithm-independent minimum) — reported as achieved
         GB/s and % of the 819 GB/s chip peak, the kernel-granularity
         speed-of-light accounting BASELINE.md's roofline row prescribes.
+        Two timings per backend: the plain per-dispatch loop (carries the
+        tunnel's dispatch floor — ms/msps/gbs fields), and a floor-FREE
+        net measurement from the slope between K=4 and K=20 in-dispatch
+        scan repetitions (net_ms/net_gbs/net_pct_sol fields): the floor
+        cancels in (dt_hi - dt_lo) / (K_hi - K_lo).
         """
         xs = [device_put_planar(a) for a in arrs]
+        # stacked [K_STACK, ...] perturbed copies for the in-dispatch loop
+        base = arrs[0]
+        stack_np = np.stack([base * (1 + np.float32(1e-6) * i)
+                             if np.issubdtype(base.dtype, np.floating)
+                             or np.issubdtype(base.dtype, np.complexfloating)
+                             else base for i in range(K_STACK)])
+        stacked = device_put_planar(stack_np)
         row = {"kernel": name, "device": dev}
         if bytes_io is not None:
             row["bytes_io"] = int(bytes_io)
@@ -75,9 +110,33 @@ def main():
                     row[f"{tag}_pct_sol"] = round(100 * gbs / PEAK_HBM_GBS, 1)
                     gbs_txt = (f"  {gbs:7.1f} GB/s"
                                f" ({100 * gbs / PEAK_HBM_GBS:5.1f}% SoL)")
+                # floor-free net timing: slope between two traced rep
+                # counts of ONE executable (the floor cancels exactly)
+                net_txt = ""
+                try:
+                    jg = jit_planar(_loop_fn(fn))
+                    r_lo = _jnp.int32(R_LO)
+                    r_hi = _jnp.int32(R_HI)
+                    dt_lo, _ = timed_loop(jg, [(stacked, r_lo),
+                                               (stacked, r_hi)], 2)
+                    dt_lo, _ = timed_loop(jg, [(stacked, r_lo)], args.iters)
+                    dt_hi, _ = timed_loop(jg, [(stacked, r_hi)], args.iters)
+                    net = max(dt_hi - dt_lo, 1e-9) / (R_HI - R_LO)
+                    row[f"{tag}_net_ms"] = round(net * 1e3, 4)
+                    if bytes_io is not None:
+                        ngbs = bytes_io / net / 1e9
+                        row[f"{tag}_net_gbs"] = round(ngbs, 1)
+                        row[f"{tag}_net_pct_sol"] = round(
+                            100 * ngbs / PEAK_HBM_GBS, 1)
+                        net_txt = (f"  net {net*1e3:7.3f} ms"
+                                   f" {ngbs:6.1f} GB/s"
+                                   f" ({100*ngbs/PEAK_HBM_GBS:5.1f}% SoL)")
+                except Exception as e:
+                    row[f"{tag}_net_error"] = (f"{type(e).__name__}: "
+                                               f"{str(e)[:120]}")
                 ok = err <= check_atol
                 log(f"# {name:<16} {tag:<6} {dt*1e3:8.2f} ms  "
-                    f"{work_samples/dt/1e6:9.1f} Msps{gbs_txt}  "
+                    f"{work_samples/dt/1e6:9.1f} Msps{gbs_txt}{net_txt}  "
                     f"maxerr {err:.2e}"
                     f"{'' if ok else '  **EXCEEDS ATOL**'}")
             except Exception as e:
@@ -85,6 +144,9 @@ def main():
                 log(f"# {name:<16} {tag:<6} FAILED {row[f'{tag}_error']}")
         if "xla_ms" in row and "pallas_ms" in row:
             row["pallas_speedup"] = round(row["xla_ms"] / row["pallas_ms"], 2)
+        if "xla_net_ms" in row and "pallas_net_ms" in row:
+            row["pallas_net_speedup"] = round(
+                row["xla_net_ms"] / row["pallas_net_ms"], 2)
         results.append(row)
 
     # ---- FFT at every spec size, incl. the flagship 1024 ----

@@ -140,6 +140,15 @@ class StreamRx:
             if pending is not None:
                 out.extend(self._collect(*pending))
             pending = (outs, base, kk)
+            # start the device->host copies NOW, so they overlap the next
+            # dispatch's compute instead of serializing in _collect (the
+            # per-dispatch fetch is the streaming mode's long pole)
+            for v in outs.values():
+                if hasattr(v, "copy_to_host_async"):
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        pass
         self._buf = self._buf[n_chunks * self.radio_chunk:]
         if pending is not None:
             out.extend(self._collect(*pending))

@@ -52,14 +52,19 @@ def main():
         planes = jnp.stack([jnp.real(x), jnp.imag(x)]).astype(jnp.float32)
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
+        # mesh is 2-D ('frame','time') even at 1x1, so the DMA needs BOTH
+        # mesh coordinates (a scalar id raises "1 ids for a 2D mesh")
         return pl.pallas_call(
-            functools.partial(PH._halo_kernel, "time", None),
+            functools.partial(PH._halo_kernel, "time", "frame"),
             out_shape=jax.ShapeDtypeStruct((2, h), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
-            compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, collective_id=7),
+            # no collective_id: Mosaic rejects it outside a custom-barrier
+            # multi-device launch ("has to be unspecified or None when not
+            # using a custom barrier") — the single-chip self-ring needs
+            # only the side-effect flag
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=False,
         )(planes)
 
