@@ -34,6 +34,12 @@ def main(argv=None):
     p.add_argument("--no-track", action="store_true",
                    help="stream-mode: disable the TRACK-mode retry pass "
                         "(for quantifying its cost)")
+    p.add_argument("--resident", action="store_true",
+                   help="stream-mode: pre-stage the K-step chunk buffers "
+                        "on-device and time only dispatch+state-carry+"
+                        "small-leaf fetch — the chain's streaming capacity "
+                        "with a production-grade feed, separated from this "
+                        "environment's tunnel H2D bandwidth")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace (Perfetto) here")
     p.add_argument("--jsonl", default=None, help="append results to JSONL")
@@ -127,26 +133,41 @@ def _bench_stream(args, spec, payloads, ch):
                        seed=args.seed).astype(np.complex64)
     rx = StreamRx(spec, chunk_len=args.chunk,
                   steps_per_dispatch=args.ksteps,
-                  track_mode=not args.no_track)
+                  track_mode=not args.no_track,
+                  input_format=args.input)
+    if args.input == "sc16":
+        planes = np.stack([cap.real, cap.imag])
+        feed = np.round(planes * (32767.0 / np.max(np.abs(planes)))
+                        ).astype(np.int16)
+        n_cap = feed.shape[1]
+    else:
+        feed, n_cap = cap, len(cap)
     # pad the tail so every iteration feeds whole K-groups of chunks
     # (steady state: every dispatch in the timed loop is the K-step one)
-    pad = (-len(cap)) % (rx.radio_chunk * args.ksteps)
-    cap = np.concatenate([cap, np.zeros(pad, np.complex64)])
+    pad = (-n_cap) % (rx.radio_chunk * args.ksteps)
+    if args.input == "sc16":
+        feed = np.concatenate([feed, np.zeros((2, pad), np.int16)], axis=1)
+    else:
+        feed = np.concatenate([feed, np.zeros(pad, np.complex64)])
+    n_cap += pad
 
-    got = rx.process(cap)                      # compile + warmup pass
+    if args.resident:
+        return _bench_stream_resident(args, spec, rx, feed, n_cap)
+
+    got = rx.process(feed)                     # compile + warmup pass
     t0 = time.perf_counter()
     n_ok = 0
     for _ in range(args.iters):
-        got = rx.process(cap)
+        got = rx.process(feed)
         n_ok += sum(g.crc_ok for g in got)
     dt = time.perf_counter() - t0
     got = rx.flush()
     n_ok += sum(g.crc_ok for g in got)
 
-    sps = len(cap) * args.iters / dt
+    sps = n_cap * args.iters / dt
     rec = {
         "config": args.config, "mode": "stream",
-        "backend": spec.kernel_backend,
+        "backend": spec.kernel_backend, "input": args.input,
         "device": jax.devices()[0].device_kind,
         "n_devices": rx.mesh.size,
         "chunk_len": rx.chunk_len,
@@ -155,6 +176,66 @@ def _bench_stream(args, spec, payloads, ch):
         "msamples_per_s": round(sps / 1e6, 3),
         "frames_per_s": round(n_ok / dt, 1),
         "frames_ok": n_ok, "frames": args.frames * args.iters,
+    }
+    if args.jsonl:
+        JsonlLogger(args.jsonl).log(rec)
+    print(json.dumps(rec))
+
+
+def _bench_stream_resident(args, spec, rx, feed, n_cap):
+    """Device-resident streaming: stage the K-step chunk stacks once (two
+    rotating perturbed buffers), then time dispatch + carried StreamState +
+    the small-leaf fetch only. A production host feeds the chip over
+    PCIe/DMA at GB/s; this environment's tunnel moves ~4 MB/s, so the
+    host-fed number measures the tunnel, not the chain — this row measures
+    the chain."""
+    import jax
+    from ..metrics import JsonlLogger
+
+    k, rc = args.ksteps, rx.radio_chunk
+    n_disp = n_cap // (k * rc)
+    sc16 = args.input == "sc16"
+    devs = []
+    for v in range(2):
+        if sc16:
+            g = feed ^ np.int16(v)             # 1-LSB content perturbation
+            stack = np.ascontiguousarray(
+                g[:, :n_disp * k * rc].reshape(2, n_disp * k, rc)
+                .swapaxes(0, 1).reshape(n_disp, k, 2, rc))
+        else:
+            g = feed * np.complex64(1 + 1e-6 * v)
+            stack = g[:n_disp * k * rc].reshape(n_disp, k, rc)
+        devs.append([rx._put_chunk(stack[d]) for d in range(n_disp)])
+
+    def run_pass(bufs):
+        n_ok = 0
+        outs_l = []
+        for d in bufs:
+            rx.state, outs = rx._multi(rx.state, d)
+            outs_l.append(outs)
+        for o in outs_l:
+            mi = np.asarray(o["meta_i"])
+            n_ok += int((mi[:, :, 0] * mi[:, :, 1]).sum())
+        return n_ok
+
+    run_pass(devs[0])                          # compile + warmup
+    run_pass(devs[1])
+    t0 = time.perf_counter()
+    n_ok = 0
+    for i in range(args.iters):
+        n_ok += run_pass(devs[i % 2])
+    dt = time.perf_counter() - t0
+
+    sps = n_disp * k * rc * args.iters / dt
+    rec = {
+        "config": args.config, "mode": "stream-resident",
+        "backend": spec.kernel_backend, "input": args.input,
+        "device": jax.devices()[0].device_kind,
+        "n_devices": rx.mesh.size, "chunk_len": rx.chunk_len,
+        "ksteps": k, "track_mode": not args.no_track,
+        "msamples_per_s": round(sps / 1e6, 3),
+        "frames_per_s": round(n_ok / dt, 1),
+        "frames_ok": n_ok,
     }
     if args.jsonl:
         JsonlLogger(args.jsonl).log(rec)

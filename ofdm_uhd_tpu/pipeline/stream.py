@@ -37,7 +37,8 @@ class StreamRx:
                  max_frames_per_shard: int | None = None,
                  threshold: float = 0.5, pallas_halo: bool = False,
                  reshard: bool = False, track_mode: bool = True,
-                 agc: bool = True, steps_per_dispatch: int = 8):
+                 agc: bool = True, steps_per_dispatch: int = 8,
+                 input_format: str = "fc32"):
         self.spec = spec
         self.mesh = mesh if mesh is not None else make_mesh(
             1, len(jax.devices()))
@@ -61,13 +62,21 @@ class StreamRx:
         # per-step host round trip amortizes K-fold; stragglers use the
         # single-step executable. Numerics are identical either way.
         self.steps_per_dispatch = steps_per_dispatch
+        if input_format not in ("fc32", "sc16"):
+            raise ValueError(f"unknown input_format {input_format!r}")
+        self.input_format = input_format
         self._step, self._multi, self.cb, self.h = make_stream_step(
             spec, self.mesh, chunk_len, max_frames_per_shard, threshold,
             pallas_halo=pallas_halo, reshard=reshard, track_mode=track_mode,
-            agc=agc)
+            agc=agc, input_format=input_format)
         self.state = StreamState.init(spec)
         self.rescued = 0       # frames recovered by the TRACK-mode retry
-        self._buf = np.zeros(0, dtype=np.complex64)
+        # host-side remainder buffer: complex64 samples, or int16 IQ
+        # planes [2, n] when streaming radio-native sc16 (4x fewer
+        # host->device bytes — the feed is the streaming long pole)
+        self._buf = (np.zeros(0, dtype=np.complex64)
+                     if input_format == "fc32"
+                     else np.zeros((2, 0), dtype=np.int16))
         # host mirror of state.steps (unbounded Python int): composes the
         # wrap-free global timebase base = steps * chunk_len without
         # fetching device state mid-stream
@@ -96,6 +105,12 @@ class StreamRx:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..core import boundary
+        if chunk.dtype == np.int16:
+            # sc16 planes: [2, rc] or [K, 2, rc]; shard the sample axis
+            lead = chunk.shape[:-1]
+            sh = NamedSharding(self.mesh, P(*(None,) * len(lead), "time"))
+            return jax.make_array_from_callback(
+                chunk.shape, sh, lambda idx: chunk[idx])
         lead = chunk.shape[:-1]
         if boundary.needs_planar():
             pair = np.ascontiguousarray(np.stack([chunk.real, chunk.imag]))
@@ -119,20 +134,36 @@ class StreamRx:
         Buffered chunks run K = steps_per_dispatch at a time through the
         device-resident scan; the remainder runs single-step.
         """
-        self._buf = np.concatenate([self._buf, samples.astype(np.complex64)])
-        n_chunks = len(self._buf) // self.radio_chunk
+        if self.input_format == "sc16":
+            if samples.dtype != np.int16 or samples.ndim != 2:
+                raise ValueError("sc16 stream expects int16 IQ planes [2, n]")
+            self._buf = np.concatenate([self._buf, samples], axis=1)
+            n_have = self._buf.shape[1]
+        else:
+            self._buf = np.concatenate(
+                [self._buf, samples.astype(np.complex64)])
+            n_have = len(self._buf)
+        n_chunks = n_have // self.radio_chunk
         out: list[StreamFrame] = []
         pending = None
         k = self.steps_per_dispatch
+        rc = self.radio_chunk
         i = 0
         while i < n_chunks:
             kk = k if (n_chunks - i >= k and k > 1) else 1
-            flat = self._buf[i * self.radio_chunk:(i + kk) * self.radio_chunk]
+            if self.input_format == "sc16":
+                flat = self._buf[:, i * rc:(i + kk) * rc]
+                dev = self._put_chunk(
+                    np.ascontiguousarray(
+                        flat.reshape(2, kk, rc).swapaxes(0, 1))
+                    if kk > 1 else flat)
+            else:
+                flat = self._buf[i * rc:(i + kk) * rc]
+                dev = self._put_chunk(flat.reshape(kk, rc)
+                                      if kk > 1 else flat)
             if kk > 1:
-                dev = self._put_chunk(flat.reshape(kk, self.radio_chunk))
                 self.state, outs = self._multi(self.state, dev)
             else:
-                dev = self._put_chunk(flat)
                 self.state, outs = self._step(self.state, dev)
             base = self._steps * self.chunk_len
             self._steps += kk
@@ -149,7 +180,9 @@ class StreamRx:
                         v.copy_to_host_async()
                     except Exception:
                         pass
-        self._buf = self._buf[n_chunks * self.radio_chunk:]
+        self._buf = (self._buf[:, n_chunks * rc:]
+                     if self.input_format == "sc16"
+                     else self._buf[n_chunks * rc:])
         if pending is not None:
             out.extend(self._collect(*pending))
         return out
@@ -157,6 +190,10 @@ class StreamRx:
     def flush(self) -> list[StreamFrame]:
         """Zero-pad the remainder (plus one extra chunk so the delayed tail
         is fully processed) and drain."""
+        if self.input_format == "sc16":
+            pad = (-self._buf.shape[1]) % self.radio_chunk
+            return self.process(
+                np.zeros((2, pad + self.radio_chunk), dtype=np.int16))
         pad = (-len(self._buf)) % self.radio_chunk
         filler = np.zeros(pad + self.radio_chunk, dtype=np.complex64)
         return self.process(filler)

@@ -261,7 +261,8 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
                      chunk_len: int, max_frames_per_shard: int | None = None,
                      threshold: float = 0.5, ema: float = 0.25,
                      pallas_halo: bool = False, reshard: bool = False,
-                     track_mode: bool = True, agc: bool = True):
+                     track_mode: bool = True, agc: bool = True,
+                     input_format: str = "fc32"):
     """Build the jitted sharded streaming step.
 
     Returns (step, multi, cb, h):
@@ -342,6 +343,41 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
         # executable — the carry (StreamState, complex leaves included)
         # never crosses the host boundary between steps
         return jax.lax.scan(step, state, chunks)
+
+    if input_format == "sc16":
+        # radio-native int16 IQ planes: the host feeds [2, C] ([K, 2, C]
+        # for the K-step path) int16 arrays — 4x fewer host->device bytes
+        # than complex64, the streaming mode's measured long pole — and
+        # the conversion runs ON-DEVICE at the top of the step. The chain
+        # after conversion is bit-identical to feeding the same scaled
+        # complex chunk.
+        base_step = step
+
+        def step(state: StreamState, iq: jax.Array):       # noqa: F811
+            c = (iq[0].astype(jnp.float32) * (1.0 / 32767.0)
+                 + 1j * iq[1].astype(jnp.float32) * (1.0 / 32767.0)
+                 ).astype(jnp.complex64)
+            return base_step(state, c)
+
+        def multi(state: StreamState, chunks: jax.Array):  # noqa: F811
+            return jax.lax.scan(step, state, chunks)
+
+        from ..core import boundary as _b
+        sh1 = NamedSharding(mesh, P(None, "time"))
+        shk = NamedSharding(mesh, P(None, None, "time"))
+        if _b.needs_planar():
+            j1 = jax.jit(_b.planarize(step), in_shardings=(None, sh1))
+            jk = jax.jit(_b.planarize(multi), in_shardings=(None, shk))
+
+            def call(state, iq):
+                return j1(_b.encode_host(state), iq)
+
+            def call_k(state, iqs):
+                return jk(_b.encode_host(state), iqs)
+
+            return call, call_k, cb, h
+        return (jax.jit(step, in_shardings=(None, sh1)),
+                jax.jit(multi, in_shardings=(None, shk)), cb, h)
 
     from ..core import boundary
     if boundary.needs_planar():

@@ -173,6 +173,37 @@ def test_multi_step_dispatch_bit_exact():
     assert int(np.asarray(rxk.state.crc_ok)) == 10
 
 
+def test_sc16_stream_matches_fc32():
+    """Radio-native sc16 streaming (int16 IQ planes, on-device conversion)
+    must decode the same frames as the fc32 path fed the identically
+    quantized complex samples — single and K-step dispatch, sharded."""
+    spec = config("c5")
+    cap, payloads = _make_stream(spec, 8, seed=11)
+    planes = np.stack([cap.real, cap.imag])
+    iq = np.round(planes * (32767.0 / np.max(np.abs(planes)))
+                  ).astype(np.int16)
+    deq = ((iq[0].astype(np.float32) + 1j * iq[1].astype(np.float32))
+           / 32767.0).astype(np.complex64)
+    chunk = 8 * 2 * (4032 + 256)
+    ref = StreamRx(spec, mesh=make_mesh(1, 8), chunk_len=chunk,
+                   steps_per_dispatch=2)
+    f_ref = ref.process(deq) + ref.flush()
+    rx = StreamRx(spec, mesh=make_mesh(1, 8), chunk_len=chunk,
+                  steps_per_dispatch=2, input_format="sc16")
+    # misaligned feed pieces exercise the [2, n] remainder buffer
+    fk = []
+    step = iq.shape[1] // 3 + 29
+    for lo in range(0, iq.shape[1], step):
+        fk += rx.process(iq[:, lo:lo + step])
+    fk += rx.flush()
+    assert len(f_ref) == len(fk) == 8
+    for a, b in zip(f_ref, fk):
+        assert a.start == b.start and a.crc_ok == b.crc_ok
+        assert np.array_equal(a.payload, b.payload)
+    for fr, p in zip(fk, payloads):
+        assert np.array_equal(fr.payload, p)
+
+
 def test_multi_step_rational_resample_and_resume(tmp_path):
     """K-step dispatch with the carried radio tail (rational L/M resample)
     plus checkpoint/resume cut mid-K-group."""
