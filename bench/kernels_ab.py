@@ -42,7 +42,11 @@ def main():
     import jax.numpy as _jnp
     import jax as _jax
 
-    K_STACK, R_LO, R_HI = 8, 16, 144
+    # rep span sized so the slope RISES above the tunnel's floor noise:
+    # these kernels run ~5-60 us/rep at SoL, and the same-executable floor
+    # still jitters ~tens of ms, so ~2k reps (~10-100 ms of marginal work)
+    # are needed for a measurable difference
+    K_STACK, R_LO, R_HI = 8, 64, 2048
 
     def _loop_fn(fn):
         """reps kernel applications inside ONE dispatch: fori_loop with a
@@ -121,7 +125,17 @@ def main():
                                                (stacked, r_hi)], 2)
                     dt_lo, _ = timed_loop(jg, [(stacked, r_lo)], args.iters)
                     dt_hi, _ = timed_loop(jg, [(stacked, r_hi)], args.iters)
-                    net = max(dt_hi - dt_lo, 1e-9) / (R_HI - R_LO)
+                    slope = dt_hi - dt_lo
+                    if slope <= 0:
+                        raise RuntimeError(
+                            f"slope buried in floor noise (dt_lo "
+                            f"{dt_lo*1e3:.1f} ms >= dt_hi {dt_hi*1e3:.1f})")
+                    net = slope / (R_HI - R_LO)
+                    if (bytes_io is not None
+                            and bytes_io / net / 1e9 > 2 * PEAK_HBM_GBS):
+                        raise RuntimeError(
+                            f"implausible {bytes_io/net/1e9:.0f} GB/s "
+                            f"(> 2x HBM peak): floor noise")
                     row[f"{tag}_net_ms"] = round(net * 1e3, 4)
                     if bytes_io is not None:
                         ngbs = bytes_io / net / 1e9
