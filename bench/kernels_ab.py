@@ -75,9 +75,10 @@ def main():
         speed-of-light accounting BASELINE.md's roofline row prescribes.
         Two timings per backend: the plain per-dispatch loop (carries the
         tunnel's dispatch floor — ms/msps/gbs fields), and a floor-FREE
-        net measurement from the slope between K=4 and K=20 in-dispatch
-        scan repetitions (net_ms/net_gbs/net_pct_sol fields): the floor
-        cancels in (dt_hi - dt_lo) / (K_hi - K_lo).
+        net measurement from the slope between R_LO=64 and R_HI=2048
+        in-dispatch `fori_loop` repetitions of ONE executable
+        (net_ms/net_gbs/net_pct_sol fields): the floor cancels in
+        (dt_hi - dt_lo) / (R_HI - R_LO).
         """
         xs = [device_put_planar(a) for a in arrs]
         # stacked [K_STACK, ...] perturbed copies for the in-dispatch loop

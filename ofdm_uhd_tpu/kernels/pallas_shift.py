@@ -1,0 +1,327 @@
+"""K2/K3 v2: shifted-accumulate VPU filter tier (VERDICT r3 item 2).
+
+The banded-matmul formulation (pallas_fir / conv_backend) runs the
+FIR/polyphase tier as dense MXU matmuls with a MAC inflation of
+(blk + W - 1) / W — ~6.6x for the 97-tap prototype at blk=512 and ~43x
+for the 8x decimator — plus materialized window/transpose intermediates.
+The r3 floor-free A/B measured its best backend at 1.6-9.5% of the HBM
+roofline (bench/results/kab_r3net.jsonl): these kernels are compute- and
+intermediate-bound, not HBM-bound.
+
+This tier re-derives the tap-level arithmetic the filters actually need —
+y[i] = sum_t w[t] * x[i + t], W taps = W shifted vector FMAs — and runs it
+on the VPU with every operand VMEM-resident:
+
+  * two row layouts. CHUNK rows (fir, sc_corr): row r holds samples
+    [r*C, (r+1)*C) of one signal; a block processes TR rows and builds
+    its cross-row shift window from a one-sublane roll plus an 8-row
+    halo block. PLANE rows (decim phases, interp planes): rows are
+    parallel signals tiled over columns; the halo is the next COLUMN
+    tile's head. Pallas can't express overlapping blocks, but a second
+    BlockSpec with a shifted index map into the same array can.
+  * taps are STATIC python floats (chunk kernels) or a tiny [rows, D]
+    ref sliced per tap (plane kernels) — each tap is one weighted FMA on
+    a [rows, C] tile, ~2W FLOP/sample, orders of magnitude under the VPU
+    roofline, leaving the kernels HBM-bound (read n + write n_out).
+  * polyphase decimation phase-splits FIRST ([planes*M, n/M] phase rows
+    via one XLA transpose): 13 FMAs over phase rows + one sublane
+    reduction instead of a 97-tap full-rate pass (the banded form's 43x
+    MAC inflation came from never phase-splitting the reduction).
+  * polyphase interpolation runs all L branch rows against sublane-
+    broadcast plane rows and interleaves branches with one XLA
+    transpose afterwards.
+  * the Schmidl-Cox correlator computes lag products, energies, and BOTH
+    pairwise-doubling boxcars (P: log2 L adds, R: log2 2L) inside one
+    kernel — the XLA doubling form materializes every doubling stage in
+    HBM, which is exactly its measured 9.5%-of-SoL wall.
+
+Numerics: plain f32 VPU adds, doubling-tree order for the boxcars and
+ascending-tap order for the FIRs; equality vs conv_backend/golden is
+asserted in tests/kernels/test_shift_kernels.py. Lane slices at static
+misaligned offsets lower as vector shifts on this backend (probed
+on-chip: scripts/ r4 session).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .conv_backend import _branch_matrix, _split_complex, _merge_complex
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# Row tile and chunk width: [TR, C + PAD] f32 blocks stay well under VMEM
+# (64 x 2176 x 4 B = 557 KB) while keeping the 8-row halo read overhead at
+# 8/TR = 12.5%.
+_TR = 64
+_C = 2048
+
+
+# ------------------------------------------------------- chunk-row helpers
+
+def _chunk_window(x_blk, halo_blk, pad: int):
+    """[TR, C] chunk-row block + [8, C] next-block head -> [TR, C + pad].
+
+    Row r's tail continuation is row r+1's head (rows are consecutive
+    signal chunks); the last row borrows from the halo block.
+    """
+    rolled = jnp.concatenate([x_blk[1:], halo_blk[:1]], axis=0)
+    return jnp.concatenate([x_blk, rolled[:, :pad]], axis=1)
+
+
+def _to_chunk_rows(planes: jax.Array, pad_l: int, w_len: int
+                   ) -> tuple[jax.Array, int]:
+    """[B, n] -> ([rows_padded + 8, C] chunk rows, R chunks per signal).
+
+    Per-signal left pad pad_l; right pad to a C multiple with >= w_len
+    slack so every valid output's W-tap window stays inside its own
+    signal's zero padding (the roll into the next signal's row 0 then
+    only feeds discarded outputs). Rows pad to a _TR multiple plus 8
+    trailing zero rows so the halo BlockSpec read stays in bounds.
+    """
+    b, n = planes.shape
+    r = -(-(pad_l + n + w_len) // _C)
+    xp = jnp.pad(planes.astype(jnp.float32),
+                 ((0, 0), (pad_l, r * _C - n - pad_l)))
+    rows = xp.reshape(b * r, _C)
+    rt = _round_up(b * r, _TR)
+    rows = jnp.pad(rows, ((0, rt - b * r + 8), (0, 0)))
+    return rows, r
+
+
+def _chunk_specs(rows: jax.Array):
+    vmem = pltpu.VMEM
+    r_tot = rows.shape[0] - 8
+    spec = pl.BlockSpec((_TR, _C), lambda i: (i, 0), memory_space=vmem)
+    spec_h = pl.BlockSpec((8, _C), lambda i: (i * (_TR // 8) + _TR // 8, 0),
+                          memory_space=vmem)
+    return r_tot, spec, spec_h
+
+
+# ------------------------------------------------------------------- FIR
+
+def _fir_kernel(w: tuple, pad: int, x_ref, h_ref, y_ref):
+    """y[r, i] = sum_t w[t] * xw[r, i + t] — unrolled static-tap FMAs."""
+    xw = _chunk_window(x_ref[:], h_ref[:], pad)
+    c = y_ref.shape[1]
+    acc = w[0] * xw[:, 0:c]
+    for t in range(1, len(w)):
+        acc = acc + w[t] * xw[:, t:t + c]
+    y_ref[:] = acc
+
+
+def fir_shift_pallas(x: jax.Array, taps) -> jax.Array:
+    """'Same'-aligned FIR over complex [..., n]; twin of conv_backend.fir_same."""
+    taps = np.asarray(taps, dtype=np.float32)
+    nt = len(taps)
+    half = (nt - 1) // 2
+    w = tuple(float(v) for v in taps[::-1])      # correlation weights
+    pad = _round_up(max(nt - 1, 1), 128)
+    n = x.shape[-1]
+    planes, info = _split_complex(x)
+    rows, r = _to_chunk_rows(planes, pad_l=nt - 1 - half, w_len=nt)
+    r_tot, spec, spec_h = _chunk_specs(rows)
+    y = pl.pallas_call(
+        functools.partial(_fir_kernel, w, pad),
+        grid=(r_tot // _TR,),
+        in_specs=[spec, spec_h],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((r_tot, _C), jnp.float32),
+        interpret=_interpret(),
+    )(rows, rows)
+    b = planes.shape[0]
+    y = y[: b * r].reshape(b, r * _C)[:, :n]
+    return _merge_complex(y, info, n)
+
+
+# --------------------------------------------------- Schmidl-Cox correlator
+
+def _sc_kernel(l: int, pad: int, re_ref, reh_ref, im_ref, imh_ref,
+               pre_ref, pim_ref, rr_ref):
+    """Lag products + energies + BOTH pairwise-doubling boxcars, fused."""
+    c = pre_ref.shape[1]
+    rew = _chunk_window(re_ref[:], reh_ref[:], pad)    # [TR, C+pad]
+    imw = _chunk_window(im_ref[:], imh_ref[:], pad)
+    # prod[k] = conj(r[k]) r[k+L] for k in [0, C+L)
+    a_re, a_im = rew[:, :c + l], imw[:, :c + l]
+    b_re, b_im = rew[:, l:c + 2 * l], imw[:, l:c + 2 * l]
+    pr = a_re * b_re + a_im * b_im                     # [TR, C+L]
+    pi = a_re * b_im - a_im * b_re
+    e = rew[:, :c + 2 * l] ** 2 + imw[:, :c + 2 * l] ** 2
+
+    def boxcar(s, win, out_len):
+        w = 1
+        while w < win:
+            s = s[:, : s.shape[1] - w] + s[:, w:]
+            w *= 2
+        return s[:, :out_len]
+
+    pre_ref[:] = boxcar(pr, l, c)
+    pim_ref[:] = boxcar(pi, l, c)
+    rr_ref[:] = 0.5 * boxcar(e, 2 * l, c)
+
+
+def sc_correlate_shift_pallas(r: jax.Array, l: int
+                              ) -> tuple[jax.Array, jax.Array]:
+    """r [..., n] complex -> (P [..., nd], R [..., nd]), nd = n - 2l + 1.
+
+    Twin of kernels.sync.sc_correlate (XLA doubling form); requires l a
+    power of two (the S&C case: l = n_sc/2).
+    """
+    assert l & (l - 1) == 0, "S&C window must be a power of two"
+    shape = r.shape
+    n = shape[-1]
+    nd = n - 2 * l + 1
+    flat = r.reshape(-1, n)
+    b = flat.shape[0]
+    pad = _round_up(2 * l, 128)
+    re_rows, rr_ = _to_chunk_rows(jnp.real(flat), pad_l=0, w_len=2 * l)
+    im_rows, _ = _to_chunk_rows(jnp.imag(flat), pad_l=0, w_len=2 * l)
+    r_tot, spec, spec_h = _chunk_specs(re_rows)
+    outs = pl.pallas_call(
+        functools.partial(_sc_kernel, l, pad),
+        grid=(r_tot // _TR,),
+        in_specs=[spec, spec_h, spec, spec_h],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((r_tot, _C), jnp.float32)] * 3,
+        interpret=_interpret(),
+    )(re_rows, re_rows, im_rows, im_rows)
+    p_re, p_im, rrr = (o[: b * rr_].reshape(b, rr_ * _C)[:, :nd]
+                       for o in outs)
+    p = (p_re + 1j * p_im).astype(jnp.complex64)
+    return (p.reshape(shape[:-1] + (nd,)),
+            rrr.reshape(shape[:-1] + (nd,)).astype(jnp.float32))
+
+
+# ------------------------------------------------------------- decimation
+
+def _decim_kernel(m: int, nd: int, x_ref, h_ref, k_ref, y_ref):
+    """Phase rows [8*M, C] (+[8*M, 128] next-column halo); per-row D-tap
+    FMA then sublane phase reduction:
+    y[plane, i] = sum_p sum_d kern[p, d] * P[plane*M + p, i + d]."""
+    xw = jnp.concatenate([x_ref[:], h_ref[:]], axis=1)   # [8M, C+128]
+    c = y_ref.shape[1]
+    acc = k_ref[:, 0:1] * xw[:, 0:c]
+    for d in range(1, nd):
+        acc = acc + k_ref[:, d:d + 1] * xw[:, d:d + c]
+    red = jnp.sum(acc.reshape(acc.shape[0] // m, m, c), axis=1)   # [8, C]
+    y_ref[:] = red
+
+
+def polyphase_decim_shift_pallas(x: jax.Array, m: int,
+                                 taps: np.ndarray) -> jax.Array:
+    """M-fold decimation [..., n*m] -> [..., n]; twin of
+    conv_backend.polyphase_decim_xla (strided 'same' FIR)."""
+    taps = np.asarray(taps, dtype=np.float32)
+    nt = len(taps)
+    half = (nt - 1) // 2
+    k97 = taps[::-1]                 # out[i] = sum_t k97[t] * xp[i*m + t]
+    nd = -(-nt // m)                 # taps per phase
+    kern = np.zeros((m, nd), np.float32)
+    for t in range(nt):
+        kern[t % m, t // m] = k97[t]
+    pad_l = nt - 1 - half
+    n_in = x.shape[-1]
+    n_out = n_in // m
+    planes, info = _split_complex(x)
+    b = planes.shape[0]
+    p8 = _round_up(b, 8)
+
+    # phase split (one XLA transpose pass): P[bp, p, k] = xp[bp, k*m + p]
+    cols = -(-(n_out + nd) // _C) * _C
+    xp = jnp.pad(planes.astype(jnp.float32),
+                 ((0, p8 - b), (pad_l, cols * m - n_in - pad_l)))
+    phases = xp.reshape(p8, cols, m).transpose(0, 2, 1).reshape(p8 * m, cols)
+    phases = jnp.pad(phases, ((0, 0), (0, 128)))     # halo columns
+
+    kf = np.zeros((8 * m, _round_up(nd, 8)), np.float32)
+    kf[:, :nd] = np.tile(kern, (8, 1))
+    vmem = pltpu.VMEM
+    y = pl.pallas_call(
+        functools.partial(_decim_kernel, m, nd),
+        grid=(p8 // 8, cols // _C),
+        in_specs=[
+            pl.BlockSpec((8 * m, _C), lambda i, j: (i, j),
+                         memory_space=vmem),
+            pl.BlockSpec((8 * m, 128), lambda i, j: (i, (j + 1) * (_C // 128)),
+                         memory_space=vmem),
+            pl.BlockSpec(kf.shape, lambda i, j: (0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((8, _C), lambda i, j: (i, j),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((p8, cols), jnp.float32),
+        interpret=_interpret(),
+    )(phases, phases, jnp.asarray(kf))
+    y = y[:b, :n_out]
+    return _merge_complex(y, info, n_out)
+
+
+# ----------------------------------------------------------- interpolation
+
+def _interp_kernel(l: int, nd: int, x_ref, h_ref, k_ref, y_ref):
+    """Plane rows [8, C] (+[8, 128] next-column halo) -> branch rows
+    [8*L, C]: y[p*L + q, i] = sum_d kern[q, d] * x[p, i + d]."""
+    xw = jnp.concatenate([x_ref[:], h_ref[:]], axis=1)   # [8, C+128]
+    c = y_ref.shape[1]
+    # sublane-broadcast each plane row to its L branch rows
+    xb = jnp.concatenate(
+        [jnp.broadcast_to(xw[p:p + 1], (l, xw.shape[1])) for p in range(8)],
+        axis=0)                                          # [8L, C+128]
+    acc = k_ref[:, 0:1] * xb[:, 0:c]
+    for d in range(1, nd):
+        acc = acc + k_ref[:, d:d + 1] * xb[:, d:d + c]
+    y_ref[:] = acc
+
+
+def polyphase_interp_shift_pallas(x: jax.Array, l: int,
+                                  taps: np.ndarray) -> jax.Array:
+    """L-fold interpolation [..., n] -> [..., n*l]; twin of
+    conv_backend.polyphase_interp_xla."""
+    g, d_min, d_max = _branch_matrix(
+        tuple(np.asarray(taps, dtype=np.float64)), l)    # [L, D]
+    kern = np.ascontiguousarray(g[:, ::-1])              # out = corr(kern)
+    nd = kern.shape[1]
+    n = x.shape[-1]
+    planes, info = _split_complex(x)
+    b = planes.shape[0]
+    p8 = _round_up(b, 8)
+
+    cols = -(-(n + nd) // _C) * _C
+    xp = jnp.pad(planes.astype(jnp.float32),
+                 ((0, p8 - b), (d_max, cols - n - d_max + 128)))
+
+    kf = np.zeros((8 * l, _round_up(nd, 8)), np.float32)
+    kf[:, :nd] = np.tile(kern, (8, 1))
+    vmem = pltpu.VMEM
+    y = pl.pallas_call(
+        functools.partial(_interp_kernel, l, nd),
+        grid=(p8 // 8, cols // _C),
+        in_specs=[
+            pl.BlockSpec((8, _C), lambda i, j: (i, j), memory_space=vmem),
+            pl.BlockSpec((8, 128), lambda i, j: (i, (j + 1) * (_C // 128)),
+                         memory_space=vmem),
+            pl.BlockSpec(kf.shape, lambda i, j: (0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((8 * l, _C), lambda i, j: (i, j),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((p8 * l, cols), jnp.float32),
+        interpret=_interpret(),
+    )(xp, xp, jnp.asarray(kf))
+    # branch rows -> sample order: row p*L + q holds output phase q of
+    # plane p (plane p of tile i sits at global row p*L + q already)
+    yb = y.reshape(p8, l, cols)[:b].transpose(0, 2, 1).reshape(
+        b, cols * l)[:, : n * l]
+    return _merge_complex(yb, info, n * l)

@@ -59,8 +59,8 @@ def sc_correlate(r: jax.Array, l: int, backend: str = "xla"
     """r [..., n] complex -> (P [..., nd], R [..., nd]), nd = n - 2l + 1."""
     from .policy import choose
     if choose("sc_corr", l, backend) == "pallas":
-        from .pallas_sync import sc_correlate_pallas
-        return sc_correlate_pallas(r, l)
+        from .pallas_shift import sc_correlate_shift_pallas
+        return sc_correlate_shift_pallas(r, l)
     prod = jnp.conj(r[..., :-l]) * r[..., l:]        # s[n], length n-l
     p_re = _moving_sum(jnp.real(prod), l)            # [..., nd]
     p_im = _moving_sum(jnp.imag(prod), l)

@@ -133,11 +133,17 @@ def _frontend(spec: WaveformSpec, frames: jax.Array, shift: int) -> dict:
 
 
 def _demod_frames(spec: WaveformSpec, frames: jax.Array, shift: int,
-                  diag: bool = True) -> dict:
-    """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len]."""
+                  diag: bool = True, batch_hint: int | None = None) -> dict:
+    """Core symbol/bit recovery for frame-aligned baseband samples [B, frame_len].
+
+    batch_hint: the TOTAL decode batch of the enclosing dispatch when it
+    exceeds the trace-time B (the vmapped multi-capture path decodes
+    C*max_frames sequences even though each traced call sees max_frames) —
+    the regime-aware Viterbi routing (kernels/policy.py) keys on it.
+    """
     out = _frontend(spec, frames, shift)
     with jax.named_scope("fec_decode"):
-        payload, crc_ok = _decode(spec, out.pop("llr"))
+        payload, crc_ok = _decode(spec, out.pop("llr"), batch_hint)
     out.update({"payload": payload, "crc_ok": crc_ok})
     if not diag:
         for k in ("data_syms", "cpe", "h"):
@@ -157,16 +163,22 @@ def _demod_frames_with_h(spec: WaveformSpec, frames: jax.Array, shift: int,
     return out
 
 
-def _decode(spec: WaveformSpec, llr: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _decode(spec: WaveformSpec, llr: jax.Array,
+            batch_hint: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Interleaved coded LLRs [B, coded] -> (payload [B, n], crc_ok [B])."""
+    from ..kernels import policy
     llr_d = PB.deinterleave_soft(llr, spec.coded_bits_per_sym)
     llr_d = PB.depuncture_llr(llr_d, spec.fec_rate,
                               2 * spec.uncoded_bits_per_frame)
-    # 'auto' resolves to the XLA decoders here: at the batched-capture
-    # sizes the headline runs, the scan/windowed paths measure >= the
-    # fused kernel (kernels/policy.py table); 'pallas' forces the fused
-    # kernel (it wins the latency/single-capture regime).
-    if spec.kernel_backend == "pallas":
+    # regime-aware routing (kernels/policy.py): the fused Pallas kernel
+    # wins the LATENCY regime (streaming steps decode ~18 slots/shard,
+    # single captures ~130 frames: measured 4.92x at batch 130); at
+    # headline capture batches the scan decoder amortizes and wins.
+    # 'pallas'/'xla' force their tier; every path is bit-identical.
+    batch = max(llr_d.shape[0], batch_hint or 0)
+    backend = policy.choose("viterbi", size=llr_d.shape[-1] // 2,
+                            requested=spec.kernel_backend, n=batch)
+    if backend == "pallas":
         from ..kernels.pallas_viterbi import viterbi_pallas
         decoded = viterbi_pallas(llr_d, impl=spec.viterbi_impl)
     elif spec.viterbi_mode == "windowed":
@@ -199,11 +211,16 @@ def _rx_aligned(spec: WaveformSpec, shift: int, diag: bool,
 
 
 def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
-                capture: jax.Array, max_frames: int) -> dict:
+                capture: jax.Array, max_frames: int,
+                batch_hint: int | None = None) -> dict:
     if capture.ndim == 2:     # [C, n]: vmap the chain over captures
+        # the vmapped dispatch decodes C*max_frames sequences — that total
+        # (not the per-capture max_frames the traced body sees) is the
+        # regime the Viterbi backend choice must key on
+        hint = capture.shape[0] * max_frames
         return jax.vmap(
-            lambda c: _rx_capture(spec, threshold, diag, c, max_frames))(
-            capture)
+            lambda c: _rx_capture(spec, threshold, diag, c, max_frames,
+                                  batch_hint=hint))(capture)
     pad = (-capture.shape[-1]) % spec.resample_l  # decimation needs n % L == 0
     if pad:  # static: resolved at trace time
         capture = jnp.pad(capture, (0, pad))
@@ -224,7 +241,8 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
     k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
     eps = eps_f + k.astype(jnp.float32)
     frames = PS.cfo_correct(frames, eps, spec.n_sc)
-    out = _demod_frames(spec, frames, shift=min(4, spec.cp // 4), diag=diag)
+    out = _demod_frames(spec, frames, shift=min(4, spec.cp // 4), diag=diag,
+                        batch_hint=batch_hint)
     out.update({"d": ds, "eps": eps, "valid": valid,
                 "crc_ok": out["crc_ok"] & valid})
     return out

@@ -349,8 +349,10 @@ def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
         # for the K-step path) int16 arrays — 4x fewer host->device bytes
         # than complex64, the streaming mode's measured long pole — and
         # the conversion runs ON-DEVICE at the top of the step. The chain
-        # after conversion is bit-identical to feeding the same scaled
-        # complex chunk.
+        # after conversion is bit-identical to feeding complex chunks the
+        # host scaled by MULTIPLYING by fl(1/32767) (a host that divides
+        # by 32767 instead can differ by 1 ulp; frame/CRC-level results
+        # agree either way — tests/distributed/test_stream asserts that).
         base_step = step
 
         def step(state: StreamState, iq: jax.Array):       # noqa: F811
