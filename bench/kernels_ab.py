@@ -23,6 +23,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--jsonl", default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny sizes + rep spans: CPU trace/correctness "
+                         "check of every row before a tunnel session "
+                         "(numbers are meaningless)")
     args = ap.parse_args()
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -47,10 +51,14 @@ def main():
     # still jitters ~tens of ms, so ~2k reps (~10-100 ms of marginal work)
     # are needed for a measurable difference
     K_STACK, R_LO, R_HI = 8, 64, 2048
+    DIV = 1
+    if args.smoke:
+        K_STACK, R_LO, R_HI = 2, 2, 4
+        DIV = 16
 
-    def _loop_fn(fn):
+    def _loop_fn(fn, ks=K_STACK):
         """reps kernel applications inside ONE dispatch: fori_loop with a
-        TRACED trip count over K_STACK stacked perturbed inputs (cycled),
+        TRACED trip count over ks stacked perturbed inputs (cycled),
         reducing each output into a scalar accumulator (keeps every
         application live and sequential; distinct inputs defeat caching).
         One executable serves every reps value, so the per-dispatch floor
@@ -59,14 +67,15 @@ def main():
             def body(i, c):
                 xi = _jax.tree.map(
                     lambda s: _jax.lax.dynamic_index_in_dim(
-                        s, i % K_STACK, axis=0, keepdims=False), stacked)
+                        s, i % ks, axis=0, keepdims=False), stacked)
                 y = fn(xi)
                 r = _jnp.real(y) if _jnp.iscomplexobj(y) else y
                 return c + _jnp.sum(r.ravel()[:128].astype(_jnp.float32))
             return _jax.lax.fori_loop(0, reps, body, _jnp.float32(0))
         return g
 
-    def ab(name, fn_x, fn_p, arrs, check_atol, work_samples, bytes_io=None):
+    def ab(name, fn_x, fn_p, arrs, check_atol, work_samples, bytes_io=None,
+           k_stack=None, r_lo=None, r_hi=None):
         """arrs: list of >=2 host inputs; asserts pallas==xla within atol.
 
         bytes_io: HBM bytes one iteration MUST move (inputs read + outputs
@@ -80,13 +89,20 @@ def main():
         (net_ms/net_gbs/net_pct_sol fields): the floor cancels in
         (dt_hi - dt_lo) / (R_HI - R_LO).
         """
+        # per-row overrides: slow kernels (e.g. viterbi at headline batch,
+        # ~24 ms/rep) can't afford 2048 in-dispatch reps — 64 reps already
+        # put ~1.5 s of marginal work over the floor jitter; big inputs
+        # also shrink the stacked-perturbation cycle to bound HBM
+        ks = k_stack or K_STACK
+        rlo = r_lo or R_LO
+        rhi = r_hi or R_HI
         xs = [device_put_planar(a) for a in arrs]
-        # stacked [K_STACK, ...] perturbed copies for the in-dispatch loop
+        # stacked [ks, ...] perturbed copies for the in-dispatch loop
         base = arrs[0]
         stack_np = np.stack([base * (1 + np.float32(1e-6) * i)
                              if np.issubdtype(base.dtype, np.floating)
                              or np.issubdtype(base.dtype, np.complexfloating)
-                             else base for i in range(K_STACK)])
+                             else base for i in range(ks)])
         stacked = device_put_planar(stack_np)
         row = {"kernel": name, "device": dev}
         if bytes_io is not None:
@@ -119,19 +135,19 @@ def main():
                 # counts of ONE executable (the floor cancels exactly)
                 net_txt = ""
                 try:
-                    jg = jit_planar(_loop_fn(fn))
-                    r_lo = _jnp.int32(R_LO)
-                    r_hi = _jnp.int32(R_HI)
-                    dt_lo, _ = timed_loop(jg, [(stacked, r_lo),
-                                               (stacked, r_hi)], 2)
-                    dt_lo, _ = timed_loop(jg, [(stacked, r_lo)], args.iters)
-                    dt_hi, _ = timed_loop(jg, [(stacked, r_hi)], args.iters)
+                    jg = jit_planar(_loop_fn(fn, ks))
+                    r_loj = _jnp.int32(rlo)
+                    r_hij = _jnp.int32(rhi)
+                    dt_lo, _ = timed_loop(jg, [(stacked, r_loj),
+                                               (stacked, r_hij)], 2)
+                    dt_lo, _ = timed_loop(jg, [(stacked, r_loj)], args.iters)
+                    dt_hi, _ = timed_loop(jg, [(stacked, r_hij)], args.iters)
                     slope = dt_hi - dt_lo
                     if slope <= 0:
                         raise RuntimeError(
                             f"slope buried in floor noise (dt_lo "
                             f"{dt_lo*1e3:.1f} ms >= dt_hi {dt_hi*1e3:.1f})")
-                    net = slope / (R_HI - R_LO)
+                    net = slope / (rhi - rlo)
                     if (bytes_io is not None
                             and bytes_io / net / 1e9 > 2 * PEAK_HBM_GBS):
                         raise RuntimeError(
@@ -166,7 +182,7 @@ def main():
 
     # ---- FFT at every spec size, incl. the flagship 1024 ----
     from ofdm_uhd_tpu.kernels.fft import fft as kfft
-    for n, b in ((64, 8192), (256, 2048), (1024, 512)):
+    for n, b in ((64, 8192 // DIV), (256, 2048 // DIV), (1024, 512 // DIV)):
         x = (rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))
              ).astype(np.complex64)
         arrs = [x * np.float32(1 + 1e-6 * i) for i in range(2)]
@@ -180,7 +196,7 @@ def main():
     # tier win at the sizes the chain actually uses) ----
     from ofdm_uhd_tpu.kernels.pallas_fft import (cp_strip_fft_pallas,
                                                  ifft_cp_pallas)
-    for n, cp, b in ((64, 16, 8192), (256, 32, 4160)):
+    for n, cp, b in ((64, 16, 8192 // DIV), (256, 32, 4160 // DIV)):
         sl, start = n + cp, cp - min(4, cp // 4)
         x = (rng.normal(size=(b, sl)) + 1j * rng.normal(size=(b, sl))
              ).astype(np.complex64)
@@ -207,10 +223,14 @@ def main():
            bytes_io=8 * b * (sl + n))
 
     # ---- FIR / polyphase ----
+    # work_samples convention for the resampler family: RADIO-rate samples
+    # (decim: input rate n; interp: output rate n) — the common currency
+    # of the C4 chain, so the Msps columns are comparable across the
+    # family. GB/s columns use each kernel's true minimum bytes.
     from ofdm_uhd_tpu.kernels import fir as K2
     from ofdm_uhd_tpu.phy.tables import resample_filter
     taps = np.asarray(resample_filter(8, 1))
-    n = 1 << 20
+    n = (1 << 20) // DIV
     x = (rng.normal(size=(n,)) + 1j * rng.normal(size=(n,))
          ).astype(np.complex64)
     arrs = [x * np.float32(1 + 1e-6 * i) for i in range(2)]
@@ -231,21 +251,36 @@ def main():
        lambda v: sc_metric(*sc_correlate(v, 128, "pallas")), arrs,
        check_atol=1e-2, work_samples=n, bytes_io=12 * n)
 
-    # ---- Viterbi at C3 flagship length (n=6912) ----
+    # ---- Viterbi at C3 flagship length (n=6912), batch SWEEP ----
+    # The scan/fused crossover is the policy table's viterbi bound
+    # (kernels/policy.py _VITERBI_PALLAS_MAX_BATCH): batch 130 = one C3
+    # capture (the latency regime where the fused kernel measured 4.92x),
+    # 4160 = the 32-capture headline dispatch, 1040 brackets the
+    # crossover. Slow rows use an 8->64 rep span (each rep is tens of ms;
+    # 56 marginal reps are already ~1 s over the floor jitter) and a
+    # smaller perturbation stack to bound HBM.
     from ofdm_uhd_tpu.phy.bits import (conv_encode, viterbi_decode,
                                        viterbi_decode_windowed)
     from ofdm_uhd_tpu.kernels.pallas_viterbi import viterbi_pallas
-    nb, bsz = 6912, 130
-    bits = rng.integers(0, 2, (bsz, nb)).astype(np.uint8)
-    bits[:, -6:] = 0
-    coded = np.asarray(conv_encode(jnp.asarray(bits)))
-    llr = ((1.0 - 2.0 * coded)
-           + rng.normal(0, 0.5, coded.shape)).astype(np.float32)
-    arrs = [llr * np.float32(1 + 1e-5 * i) for i in range(2)]
-    ab("viterbi-6912", viterbi_decode, viterbi_pallas, arrs,
-       check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb)
-    ab("viterbi-win-6912", viterbi_decode_windowed, None, arrs,
-       check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb)
+    nb = 6912
+    vit_rows = ((130, "", (64, 2048)), (1040, "-b1040", (8, 128)),
+                (4160, "-b4160", (8, 64)))
+    if args.smoke:
+        vit_rows = ((16, "", (2, 4)), (32, "-b1040", (2, 4)))
+    for bsz, suffix, rspan in vit_rows:
+        bits = rng.integers(0, 2, (bsz, nb)).astype(np.uint8)
+        bits[:, -6:] = 0
+        coded = np.asarray(conv_encode(jnp.asarray(bits)))
+        llr = ((1.0 - 2.0 * coded)
+               + rng.normal(0, 0.5, coded.shape)).astype(np.float32)
+        arrs = [llr * np.float32(1 + 1e-5 * i) for i in range(2)]
+        ab(f"viterbi-6912{suffix}", viterbi_decode, viterbi_pallas, arrs,
+           check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb,
+           k_stack=2 if bsz > 200 else None,
+           r_lo=rspan[0], r_hi=rspan[1])
+        if bsz == 130:
+            ab("viterbi-win-6912", viterbi_decode_windowed, None, arrs,
+               check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb)
 
     if args.jsonl:
         lg = JsonlLogger(args.jsonl)

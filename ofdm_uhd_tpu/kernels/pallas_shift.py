@@ -124,9 +124,20 @@ def _fir_kernel(w: tuple, pad: int, x_ref, h_ref, y_ref):
 
 
 def fir_shift_pallas(x: jax.Array, taps) -> jax.Array:
-    """'Same'-aligned FIR over complex [..., n]; twin of conv_backend.fir_same."""
+    """'Same'-aligned FIR over complex [..., n]; twin of conv_backend.fir_same.
+
+    Short filters (< _MAX_OFFSETS taps) run the chunk-row kernel; longer
+    ones (the 193-tap resampler prototype) the 8-phase-split kernel —
+    this backend's Mosaic crashes (HTTP-500 in the compile helper) past
+    ~33-64 DISTINCT static lane-shift offsets in one kernel (probed r4:
+    linear-33 OK / linear-65 fail, tree form identical), so the offset
+    count, not the tap count, is the budget: an M=8 phase split needs
+    only ceil(nt/8)+1 offsets.
+    """
     taps = np.asarray(taps, dtype=np.float32)
     nt = len(taps)
+    if nt - 1 >= _MAX_OFFSETS:
+        return _fir_shift_phased(x, taps)
     half = (nt - 1) // 2
     w = tuple(float(v) for v in taps[::-1])      # correlation weights
     pad = _round_up(max(nt - 1, 1), 128)
@@ -145,6 +156,96 @@ def fir_shift_pallas(x: jax.Array, taps) -> jax.Array:
     b = planes.shape[0]
     y = y[: b * r].reshape(b, r * _C)[:, :n]
     return _merge_complex(y, info, n)
+
+
+# Mosaic's distinct-lane-shift budget per kernel (probed r4; see
+# fir_shift_pallas docstring). Offsets strictly below this are safe.
+_MAX_OFFSETS = 33
+
+
+def _fir_phase_kernel(nd: int, x_ref, h_ref, k_ref, y_ref, acc_scr):
+    """Phase rows [16, C] (2 planes x 8 phases) + next-column halo ->
+    output phase rows [16, C]: y[pl*8+q, i] = sum_p sum_e
+    kern[q, p, e] * x[pl*8+p, i+e].
+
+    The input-phase loop is a fori_loop with DYNAMIC sublane indexing
+    (p scalar row reads, pl.ds coefficient rows) so the compiled program
+    holds only the nd static lane-shift FMAs — this backend's Mosaic
+    compile helper crashes past ~100 slice ops per kernel (probed r4:
+    25 offsets x 4 reps OK, x 8 reps HTTP-500), so an unrolled 8x25
+    double loop cannot compile. The phase broadcast runs over sublanes,
+    so every FMA covers all 16 output rows."""
+    c = y_ref.shape[1]
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def body(p, _):
+        xa = jnp.concatenate([x_ref[p, :], h_ref[p, :]])        # [C+128]
+        xb_ = jnp.concatenate([x_ref[p + 8, :], h_ref[p + 8, :]])
+        xb = jnp.concatenate(
+            [jnp.broadcast_to(xa[None, :], (8, c + 128)),
+             jnp.broadcast_to(xb_[None, :], (8, c + 128))], axis=0)
+        kcol = k_ref[pl.ds(p * 16, 16), :]                      # [16, ndp]
+        part = kcol[:, 0:1] * xb[:, 0:c]
+        for e in range(1, nd):
+            part = part + kcol[:, e:e + 1] * xb[:, e:e + c]
+        acc_scr[:] += part
+        return 0
+
+    jax.lax.fori_loop(0, 8, body, 0)
+    y_ref[:] = acc_scr[:]
+
+
+def _fir_shift_phased(x: jax.Array, taps: np.ndarray) -> jax.Array:
+    """'Same' FIR via 8-phase decomposition: y[8i+q] = sum_{p,e}
+    kern[q,p,e] * P_p[i+e] with P_p[i] = xp[8i+p] (xp left-padded)."""
+    taps = np.asarray(taps, dtype=np.float32)
+    nt = len(taps)
+    half = (nt - 1) // 2
+    k97 = taps[::-1]                 # y[j] = sum_t k97[t] * xp[j + t]
+    nd = (7 + nt - 1) // 8 + 1       # e = (q + t) // 8 <= (7 + nt - 1) // 8
+    assert nd < _MAX_OFFSETS
+    kern = np.zeros((8, 8, nd), np.float32)       # [q, p, e]
+    for q in range(8):
+        for t in range(nt):
+            kern[q, (q + t) % 8, (q + t) // 8] = k97[t]
+    pad_l = nt - 1 - half
+    n = x.shape[-1]
+    planes, info = _split_complex(x)
+    b = planes.shape[0]
+    b2 = _round_up(b, 2)
+
+    cols = -(-(-(-(pad_l + n + nt) // 8) + nd) // _C) * _C
+    xp = jnp.pad(planes.astype(jnp.float32),
+                 ((0, b2 - b), (pad_l, cols * 8 - n - pad_l)))
+    phases = xp.reshape(b2, cols, 8).transpose(0, 2, 1).reshape(b2 * 8, cols)
+    phases = jnp.pad(phases, ((0, 0), (0, 128)))  # halo columns
+
+    # kf rows: phase-p block of 16 rows = (plane q-rows for plane 0, 1)
+    kf = np.zeros((8 * 16, _round_up(nd, 8)), np.float32)
+    for p in range(8):
+        for q in range(8):
+            kf[p * 16 + q, :nd] = kern[q, p]
+            kf[p * 16 + 8 + q, :nd] = kern[q, p]
+    vmem = pltpu.VMEM
+    y = pl.pallas_call(
+        functools.partial(_fir_phase_kernel, nd),
+        grid=(b2 // 2, cols // _C),
+        in_specs=[
+            pl.BlockSpec((16, _C), lambda i, j: (i, j), memory_space=vmem),
+            pl.BlockSpec((16, 128), lambda i, j: (i, (j + 1) * (_C // 128)),
+                         memory_space=vmem),
+            pl.BlockSpec(kf.shape, lambda i, j: (0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((16, _C), lambda i, j: (i, j),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((b2 * 8, cols), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, _C), jnp.float32)],
+        interpret=_interpret(),
+    )(phases, phases, jnp.asarray(kf))
+    # output phase rows -> sample order
+    yb = y.reshape(b2, 8, cols).transpose(0, 2, 1).reshape(
+        b2, cols * 8)[:b, :n]
+    return _merge_complex(yb, info, n)
 
 
 # --------------------------------------------------- Schmidl-Cox correlator

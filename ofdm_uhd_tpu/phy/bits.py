@@ -80,29 +80,38 @@ def conv_encode(bits: jax.Array) -> jax.Array:
     return jnp.stack([out_a, out_b], axis=-1).reshape(bits.shape[:-1] + (2 * n,))
 
 
-def _pack_mat() -> jax.Array:
-    """[64, 4] f32: column g holds 1<<(s%16) for states s in group
-    g = s//16, zero elsewhere — one matmul packs a [..., 64] 0/1 decision
-    vector into four 16-bit words (sums of <=16 distinct powers of two,
-    < 2^24, so f32 accumulation is EXACT; inputs 0/1 and power-of-two
-    weights are exact in bf16 too, so any matmul precision is safe)."""
-    m = np.zeros((64, 4), np.float32)
-    s = np.arange(64)
-    m[s, s // 16] = (1 << (s % 16)).astype(np.float32)
-    return jnp.asarray(m)
+def _pack_words() -> jax.Array:
+    """[64] int32 bit values 1<<(s%32): weights that pack a [..., 64] 0/1
+    decision vector into two int32 words by a masked select + 32-lane sum.
+    State 31's/63's bit rides the int32 sign bit — adds of DISJOINT bits
+    are exact in two's complement and `(w >> k) & 1` is undisturbed by the
+    arithmetic shift (same trick as the fused Pallas kernel's bit-packed
+    decisions, probed exact on-chip)."""
+    return jnp.asarray((np.uint32(1) << (np.arange(64, dtype=np.uint32)
+                                         % 32)).view(np.int32))
+
+
+def _pack_choice(choice: jax.Array) -> jax.Array:
+    """[..., 64] bool decisions -> [..., 2] int32 words (states 0-31, 32-63).
+
+    Runs INSIDE the ACS scan body so the stored decision tensor is 8x
+    smaller than the [..., 64] bool form — at headline batch the decision
+    array is the decoder's dominant HBM traffic (write in the forward
+    scan + read in the traceback), so this is a bandwidth optimization,
+    not cosmetics. A handful of VPU selects/adds per step is free next to
+    the ACS selects already there."""
+    b = jnp.where(choice, _pack_words(), 0)
+    return jnp.sum(b.reshape(choice.shape[:-1] + (2, 32)), axis=-1)
 
 
 def _traceback_word(state: jax.Array, dec_t: jax.Array) -> jax.Array:
-    """dec_t [..., 4] packed decision words, state [...] -> decision bit.
+    """dec_t [..., 2] packed decision words, state [...] -> decision bit.
 
     Word/bit lookup replaces the 64-wide one-hot reduction of the naive
-    traceback (~15 VPU ops per step instead of ~192): the state's decision
-    lives at word state//16, bit state%16."""
-    g = state >> 4
-    w01 = jnp.where((g & 1) == 1, dec_t[..., 1], dec_t[..., 0])
-    w23 = jnp.where((g & 1) == 1, dec_t[..., 3], dec_t[..., 2])
-    w = jnp.where(g >= 2, w23, w01)
-    return (w >> (state & 15)) & 1
+    traceback: the state's decision lives at word state//32, bit
+    state%32 (sign-bit semantics: see _pack_words)."""
+    w = jnp.where(state >= 32, dec_t[..., 1], dec_t[..., 0])
+    return (w >> (state & 31)) & 1
 
 
 def _pred_metric(pm: jax.Array, p: int) -> jax.Array:
@@ -167,21 +176,17 @@ def viterbi_decode(llr: jax.Array, unroll: int = 8) -> jax.Array:
         c1 = _pred_metric(pm, 1) - bm0
         choice = c1 > c0                                     # tie -> pred 0
         pm_new = jnp.where(choice, c1, c0)
-        return pm_new, choice
+        # pack IN the body: the scan stores [n, B, 2] int32 instead of
+        # [n, B, 64] bool — 8x less decision HBM traffic (see _pack_choice)
+        return pm_new, _pack_choice(choice)
 
     # unroll: the ACS body is a handful of tiny VPU/MXU ops — per-iteration
     # loop overhead dominates on TPU; unrolling 8 bodies per iteration lets
     # XLA pipeline them (exact, just scheduling)
-    _, decisions = jax.lax.scan(acs, pm0, (la, lb),
-                                unroll=unroll)               # [n, B, 64] bool
+    _, packed = jax.lax.scan(acs, pm0, (la, lb),
+                             unroll=unroll)                  # [n, B, 2] i32
 
-    # pack decisions to 4x16-bit words per (t, b) in ONE MXU matmul (exact
-    # — see _pack_mat), so the sequential traceback reads 16 bytes/step
-    # instead of 64 and does a shift/mask instead of a 64-wide reduction
-    packed = (decisions.reshape(n * bsz, 64).astype(jnp.float32)
-              @ _pack_mat()).astype(jnp.int32).reshape(n, bsz, 4)
-
-    def traceback(state, dec_t):                             # dec_t [B, 4]
+    def traceback(state, dec_t):                             # dec_t [B, 2]
         bit = (state >> 5) & 1                               # [B]
         d = _traceback_word(state, dec_t)
         return ((state & 31) << 1) | d, bit
@@ -260,20 +265,15 @@ def viterbi_decode_windowed(llr: jax.Array, window: int = 512,
         c0 = _pred_metric(pm, 0) + bm0                       # [B, W, 64]
         c1 = _pred_metric(pm, 1) - bm0
         choice = c1 > c0
-        return jnp.where(choice, c1, c0), choice
+        return jnp.where(choice, c1, c0), _pack_choice(choice)
 
-    pm_f, decisions = jax.lax.scan(acs, pm0, (law, lbw), unroll=4)
+    pm_f, packed = jax.lax.scan(acs, pm0, (law, lbw), unroll=4)
 
     # window ending at true step n inherits the exact tail termination
     # (state 0); interior windows take the best surviving state
     pm_f = pm_f + jnp.where(jnp.asarray(starts + e == n)[None, :, None],
                             force0[None, None, :], 0.0)
     state_f = jnp.argmax(pm_f, axis=-1).astype(jnp.int32)    # [B, W]
-
-    # packed-word traceback (see viterbi_decode): one exact MXU matmul
-    # turns [E, B, W, 64] bool into [E, B, W, 4] 16-bit words
-    packed = (decisions.reshape(-1, 64).astype(jnp.float32)
-              @ _pack_mat()).astype(jnp.int32).reshape(e, bsz, w, 4)
 
     def traceback(state, dec_t):                             # state [B, W]
         bit = (state >> 5) & 1
