@@ -26,7 +26,8 @@ from . import tables as T
 
 def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
                   threshold: float = 0.5, rel: float = 0.9,
-                  backend: str | None = None):
+                  backend: str | None = None,
+                  threshold_mode: str = "fixed", cfar_k: float = 16.0):
     """capture [n] -> (d [max_frames] i32, eps [max_frames] f32, valid [max_frames] bool).
 
     d = estimated first sample of each frame; eps = fractional CFO in
@@ -65,7 +66,26 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     # pad so dynamic_slice windows never clamp
     m_pad = jnp.concatenate([m, jnp.zeros(span, m.dtype)])
 
-    above = m >= threshold
+    # threshold_mode 'cfar' (SURVEY.md §2.1 #16 low-SNR robustness): the
+    # fixed 0.5 threshold misses preambles below ~0 dB, where the S&C
+    # plateau height (snr/(1+snr))^2 drops under it while the noise-floor
+    # metric stays near ~1/L. A noise-floor-adaptive threshold
+    # k * median(M) (median is robust to <50% frame occupancy) tracks the
+    # actual floor; clipped into [0.05, threshold] so it never exceeds
+    # the configured fixed threshold nor chases zero-signal noise to 0.
+    # k=16: the noise metric's extreme tail reaches ~12x its median over
+    # ~50k-sample captures at L=32 (measured r4), so 16x keeps false
+    # alarms out while sitting well under the 0 dB plateau (~0.25 at
+    # L-independent (snr/(1+snr))^2).
+    # Streaming shards apply it per detection window — the same
+    # window-content-only argument that makes per-window AGC sharded ==
+    # unsharded exact (shard/time_parallel.py) applies.
+    if threshold_mode == "cfar":
+        thr = jnp.clip(cfar_k * jnp.median(m), 0.05, threshold)
+    else:
+        thr = jnp.float32(threshold)
+
+    above = m >= thr
     rise = above & ~jnp.concatenate(
         [jnp.zeros(1, dtype=bool), above[:-1]])
     # first max_cand rising-edge indices, ascending (top_k of the negated

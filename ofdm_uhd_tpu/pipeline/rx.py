@@ -31,7 +31,8 @@ from ..phy import tables as T
 
 class RxPipeline:
     def __init__(self, spec: WaveformSpec, shift: int = 0,
-                 sync_threshold: float = 0.5, diag: bool = True):
+                 sync_threshold: float = 0.5, diag: bool = True,
+                 sync_threshold_mode: str = "fixed"):
         # diag=False drops the diagnostic leaves (data_syms, cpe, h) from
         # results: on this runtime every output byte pays executable
         # staging cost, and the bench/production path needs only bits +
@@ -40,13 +41,16 @@ class RxPipeline:
         self.spec = spec
         self.shift = shift
         self.sync_threshold = sync_threshold
+        self.sync_threshold_mode = sync_threshold_mode
         self._aligned = jit_planar(
             functools.partial(_rx_aligned, spec, shift, diag))
         self._capture = jit_planar(
-            functools.partial(_rx_capture, spec, sync_threshold, diag),
+            functools.partial(_rx_capture, spec, sync_threshold, diag,
+                              threshold_mode=sync_threshold_mode),
             static_argnames=("max_frames",))
         self._capture_sc16 = jit_planar(
-            functools.partial(_rx_capture_sc16, spec, sync_threshold, diag),
+            functools.partial(_rx_capture_sc16, spec, sync_threshold, diag,
+                              threshold_mode=sync_threshold_mode),
             static_argnames=("max_frames",))
 
     def rx_aligned(self, frames: jax.Array) -> dict:
@@ -192,7 +196,8 @@ def _decode(spec: WaveformSpec, llr: jax.Array,
 
 
 def _rx_capture_sc16(spec: WaveformSpec, threshold: float, diag: bool,
-                     iq: jax.Array, max_frames: int) -> dict:
+                     iq: jax.Array, max_frames: int,
+                     threshold_mode: str = "fixed") -> dict:
     """iq int16 [2, ...]: planes -> complex64 on-device, then the chain.
 
     The chain is scale-invariant (S&C metric is normalized; the channel
@@ -202,7 +207,8 @@ def _rx_capture_sc16(spec: WaveformSpec, threshold: float, diag: bool,
     c = (iq[0].astype(jnp.float32) * (1.0 / 32767.0)
          + 1j * iq[1].astype(jnp.float32) * (1.0 / 32767.0)
          ).astype(jnp.complex64)
-    return _rx_capture(spec, threshold, diag, c, max_frames)
+    return _rx_capture(spec, threshold, diag, c, max_frames,
+                       threshold_mode=threshold_mode)
 
 
 def _rx_aligned(spec: WaveformSpec, shift: int, diag: bool,
@@ -212,7 +218,8 @@ def _rx_aligned(spec: WaveformSpec, shift: int, diag: bool,
 
 def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
                 capture: jax.Array, max_frames: int,
-                batch_hint: int | None = None) -> dict:
+                batch_hint: int | None = None,
+                threshold_mode: str = "fixed") -> dict:
     if capture.ndim == 2:     # [C, n]: vmap the chain over captures
         # the vmapped dispatch decodes C*max_frames sequences — that total
         # (not the per-capture max_frames the traced body sees) is the
@@ -220,7 +227,8 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
         hint = capture.shape[0] * max_frames
         return jax.vmap(
             lambda c: _rx_capture(spec, threshold, diag, c, max_frames,
-                                  batch_hint=hint))(capture)
+                                  batch_hint=hint,
+                                  threshold_mode=threshold_mode))(capture)
     pad = (-capture.shape[-1]) % spec.resample_l  # decimation needs n % L == 0
     if pad:  # static: resolved at trace time
         capture = jnp.pad(capture, (0, pad))
@@ -232,7 +240,8 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
         # land in a uniform power regime before thresholds/CSI
         capture, _ = PA.agc_normalize(capture)
     ds, eps_f, valid = PS.detect_frames(spec, capture, max_frames,
-                                        threshold=threshold)
+                                        threshold=threshold,
+                                        threshold_mode=threshold_mode)
     frames = PS.extract_frames(spec, capture, ds)
     # fused CFO: the integer search derotates only its own sym-B window by
     # eps_f, then ONE full-frame ramp applies the composed total — the

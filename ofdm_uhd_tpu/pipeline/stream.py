@@ -35,7 +35,8 @@ class StreamRx:
 
     def __init__(self, spec: WaveformSpec, mesh=None, chunk_len: int | None = None,
                  max_frames_per_shard: int | None = None,
-                 threshold: float = 0.5, pallas_halo: bool = False,
+                 threshold: float = 0.5, threshold_mode: str = "fixed",
+                 pallas_halo: bool = False,
                  reshard: bool = False, track_mode: bool = True,
                  agc: bool = True, steps_per_dispatch: int = 8,
                  input_format: str = "fc32"):
@@ -66,7 +67,8 @@ class StreamRx:
             raise ValueError(f"unknown input_format {input_format!r}")
         self.input_format = input_format
         self._step, self._multi, self.cb, self.h = make_stream_step(
-            spec, self.mesh, chunk_len, max_frames_per_shard, threshold,
+            spec, self.mesh, chunk_len, max_frames_per_shard,
+            (threshold, threshold_mode),
             pallas_halo=pallas_halo, reshard=reshard, track_mode=track_mode,
             agc=agc, input_format=input_format)
         self.state = StreamState.init(spec)

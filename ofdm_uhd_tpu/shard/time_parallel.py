@@ -120,7 +120,7 @@ def _track_retry(spec: WaveformSpec, frames, eps, shift: int, out: dict,
 
 
 def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
-                threshold: float, ema: float, axis: str, pallas_halo: bool,
+                threshold, ema: float, axis: str, pallas_halo: bool,
                 reshard: bool, track_mode: bool,
                 block, halo_fresh, fresh_raw, state: StreamState):
     """Per-shard body inside shard_map.
@@ -148,8 +148,11 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
     halo = jnp.where(idx == t - 1, halo_fresh, halo)
     ext = jnp.concatenate([block, halo])                     # [Cb + H]
 
+    thr, thr_mode = (threshold if isinstance(threshold, tuple)
+                     else (threshold, "fixed"))
     ds, eps_f, valid = PS.detect_frames(spec, ext, max_frames,
-                                        threshold=threshold)
+                                        threshold=thr,
+                                        threshold_mode=thr_mode)
     owned = valid & (ds < cb)
     frames = PS.extract_frames(spec, ext, ds)
     # fused CFO (see pipeline/rx.py): window-local derotation for the
@@ -259,7 +262,7 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
 
 def make_stream_step(spec: WaveformSpec, mesh: jax.sharding.Mesh,
                      chunk_len: int, max_frames_per_shard: int | None = None,
-                     threshold: float = 0.5, ema: float = 0.25,
+                     threshold=0.5, ema: float = 0.25,
                      pallas_halo: bool = False, reshard: bool = False,
                      track_mode: bool = True, agc: bool = True,
                      input_format: str = "fc32"):
