@@ -27,7 +27,11 @@ def main():
                     help="tiny sizes + rep spans: CPU trace/correctness "
                          "check of every row before a tunnel session "
                          "(numbers are meaningless)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated kernel-name substrings: run "
+                         "matching rows only (targeted re-measures)")
     args = ap.parse_args()
+    only = args.only.split(",") if args.only else None
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
@@ -93,6 +97,8 @@ def main():
         # ~24 ms/rep) can't afford 2048 in-dispatch reps — 64 reps already
         # put ~1.5 s of marginal work over the floor jitter; big inputs
         # also shrink the stacked-perturbation cycle to bound HBM
+        if only is not None and not any(s in name for s in only):
+            return
         ks = k_stack or K_STACK
         rlo = r_lo or R_LO
         rhi = r_hi or R_HI
@@ -278,9 +284,14 @@ def main():
            check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb,
            k_stack=2 if bsz > 200 else None,
            r_lo=rspan[0], r_hi=rspan[1])
-        if bsz == 130:
-            ab("viterbi-win-6912", viterbi_decode_windowed, None, arrs,
-               check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb)
+        # windowed-XLA rows at every batch: at 130 it measured 1.43 ms —
+        # faster than even the fused kernel — so the decoder-ALGORITHM
+        # choice (scan vs windowed vs fused) needs the full grid
+        ab(f"viterbi-win-6912{suffix and '-b' + str(bsz) if suffix else ''}",
+           viterbi_decode_windowed, None, arrs,
+           check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb,
+           k_stack=2 if bsz > 200 else None,
+           r_lo=rspan[0], r_hi=rspan[1])
 
     if args.jsonl:
         lg = JsonlLogger(args.jsonl)

@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="captures per dispatch (vmapped)")
     ap.add_argument("--config", default="c3")
+    ap.add_argument("--net", action="store_true",
+                    help="add floor-free net per-stage timing (traced-rep "
+                         "slope, bench_lib.net_time): the per-dispatch "
+                         "floor cancels, so stage attribution is valid "
+                         "even on slow-tunnel days")
     ap.add_argument("--jsonl", default=None,
                     help="append the per-stage profile (ms) as one JSONL "
                          "record — bench/roofline.py --stages-jsonl "
@@ -101,6 +106,7 @@ def main():
 
     xs = variants(cap)
     results = {}
+    results_net = {}
 
     def stage(name, fn, argsets, scale=1):
         try:
@@ -109,8 +115,23 @@ def main():
             log(f"# {name}: FAILED {type(e).__name__}: {str(e)[:160]}")
             return
         results[name] = dt
+        net_txt = ""
+        if args.net:
+            from bench_lib import net_time
+            import jax as _jax
+            try:
+                stacked = _jax.tree.map(
+                    lambda *ls: _jax.numpy.stack(ls), *[a[0] for a in argsets])
+                r_hi = max(16, min(2048, int(2.0 / max(dt, 1e-5))))
+                net = net_time(fn, stacked, iters=args.iters,
+                               r_lo=max(2, r_hi // 16), r_hi=r_hi)
+                results_net[name] = net
+                net_txt = (f"   net {net*1e3:8.3f} ms "
+                           f"{(scale or 1) * n / net / 1e6:9.1f} Msps")
+            except Exception as e:
+                net_txt = f"   net FAILED {type(e).__name__}: {str(e)[:90]}"
         log(f"# {name:<10} {dt*1e3:8.2f} ms   "
-            f"{scale * n / dt / 1e6:9.1f} Msps")
+            f"{scale * n / dt / 1e6:9.1f} Msps{net_txt}")
 
     corr = jit_planar(lambda c: sc_metric(*sc_correlate(
         c, spec.n_sc // 2, backend=args.backend)))
@@ -169,6 +190,8 @@ def main():
             "n_samples": n, "batch": args.batch, "frames": args.frames,
             "mf": mf, "frame_len": spec.frame_len,
             "stages_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
+            "stages_net_ms": {k: round(v * 1e3, 4)
+                              for k, v in results_net.items()},
         })
 
 

@@ -55,3 +55,51 @@ def build_capture(spec, n_frames: int, gap: int, seed: int = 0,
                      timing_offset=timing_offset)
     cap = make_capture(frames, ch, spec.n_sc, gap=gap, seed=seed)
     return cap.astype(np.complex64), payloads
+
+
+def net_time(fn, stacked, iters: int = 4, r_lo: int = 64, r_hi: int = 2048,
+             timed_loop=None):
+    """Floor-free net seconds per application of `fn` (kernels_ab protocol).
+
+    Runs `reps` applications of fn inside ONE dispatch via lax.fori_loop
+    with a TRACED trip count over the leading axis of `stacked` (cycled
+    perturbed inputs defeat caching); times r_lo and r_hi reps of the SAME
+    executable and takes the slope — the per-dispatch floor of this
+    tunnel (50-270 ms on bad days) cancels exactly. Returns net seconds
+    per rep; raises on non-positive slope (floor noise).
+
+    fn may return any pytree; each application is kept live by reducing
+    its smallest leaf into the carried scalar.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ofdm_uhd_tpu.core.boundary import jit_planar
+    from ofdm_uhd_tpu.metrics import timed_loop as _tl
+    tl = timed_loop or _tl
+    k = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+
+    def loop(st, reps):
+        def body(i, c):
+            xi = jax.tree.map(
+                lambda s: jax.lax.dynamic_index_in_dim(
+                    s, i % k, axis=0, keepdims=False), st)
+            out = fn(xi)
+            leaves = [x for x in jax.tree_util.tree_leaves(out)
+                      if hasattr(x, "size") and x.size]
+            leaves.sort(key=lambda a: a.size)
+            r = leaves[0]
+            r = jnp.real(r) if jnp.iscomplexobj(r) else r
+            return c + jnp.sum(r.ravel()[:128].astype(jnp.float32))
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    jl = jit_planar(loop)
+    lo = jnp.int32(r_lo)
+    hi = jnp.int32(r_hi)
+    tl(jl, [(stacked, lo), (stacked, hi)], 2)          # warm both
+    dt_lo, _ = tl(jl, [(stacked, lo)], iters)
+    dt_hi, _ = tl(jl, [(stacked, hi)], iters)
+    slope = dt_hi - dt_lo
+    if slope <= 0:
+        raise RuntimeError(f"net slope buried in floor noise "
+                           f"(lo {dt_lo*1e3:.1f} ms >= hi {dt_hi*1e3:.1f})")
+    return slope / (r_hi - r_lo)

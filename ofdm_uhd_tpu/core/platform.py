@@ -21,7 +21,18 @@ def honor_env(default: str | None = None) -> None:
     jax.config.update("jax_platforms", want)
 
 
-def force_cpu() -> None:
+def force_cpu(n_devices: int | None = None) -> None:
+    """Pin this process to the host CPU backend (the axon sitecustomize
+    rewrites JAX_PLATFORMS at `import jax`, so the config API is the only
+    reliable lever). n_devices: also request a virtual device count —
+    only honored if set before first backend use."""
+    import os
+
+    if n_devices is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_devices}")
     import jax
 
     jax.config.update("jax_platforms", "cpu")

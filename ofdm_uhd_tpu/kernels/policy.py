@@ -34,24 +34,27 @@ the committed jsonl and FAILS if this table drifts from the measurement.
                                   478 Msps xla vs 241 pallas)
   sc_corr     128     xla         0.04x
   viterbi     n=6912  regime-dependent: the fused Pallas kernel wins the
-                      LATENCY regime — 4.92x at batch 130 (net 1.75 ms vs
-                      the scan's 8.59 ms) — because its wall-clock is the
-                      sequential trellis, amortized across at most a few
-                      hundred lanes; at large batch the scan's per-step
-                      cost amortizes over the batch and overtakes it.
-                      'auto' routes batch <= _VITERBI_PALLAS_MAX_BATCH
-                      (streaming steps decode ~18 slots/shard; single
-                      captures ~130 frames) to the fused kernel and keeps
-                      the scan for headline-batch captures (4160).
+                      LATENCY regime — 3.71x at batch 130 (kab_r4net:
+                      net 1.75 ms vs the scan's 6.48) — because its
+                      wall-clock is the sequential trellis, amortized
+                      across at most a few hundred lanes; at large batch
+                      the scan's per-step cost amortizes over the batch
+                      and overtakes it (scan wins 1.3x at 1040, 2.4x at
+                      4160). 'auto' routes batch <=
+                      _VITERBI_PALLAS_MAX_BATCH (streaming steps decode
+                      ~18 slots/shard; single captures ~130 frames) to
+                      the fused kernel and keeps the scan for
+                      headline-batch captures.
 """
 
 from __future__ import annotations
 
 # Measured crossover bound for the fused Pallas Viterbi (bit-exact either
-# way; this is purely a speed decision). kab_r3net measured the fused win
-# at batch 130 (4.92x) and parity-or-loss at the headline batch 4160; the
-# r4 batch sweep (bench/kernels_ab.py viterbi rows) pins the bound.
-_VITERBI_PALLAS_MAX_BATCH = 1024
+# way; this is purely a speed decision). kab_r4net batch sweep: fused
+# wins 3.71x at batch 130 (net 1.75 vs 6.48 ms), loses at 1040 (13.4 vs
+# 10.2) and 4160 (57.0 vs 23.4) — the linear cost models cross at
+# ~670 frames; 512 keeps a safety margin on the fused side.
+_VITERBI_PALLAS_MAX_BATCH = 512
 
 # Pallas is selected iff predicate(size, n) is true; absent kernels -> xla.
 # size = the kernel's characteristic size (FFT length, resample factor,
