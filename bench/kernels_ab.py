@@ -243,6 +243,17 @@ def main():
     ab("fir-97t", lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: K2.fir_filter(v, taps, backend="pallas"), arrs,
        check_atol=1e-3, work_samples=n, bytes_io=16 * n)
+    # precision-HIGH variant of the MXU tier (3-pass bf16, 2x MXU rate;
+    # EVM-grade accuracy — informational row, not a policy input)
+    import jax as _j
+    from ofdm_uhd_tpu.kernels.pallas_fir_mxu import fir_mxu_pallas
+    ab("fir-97t-mxu-hi", lambda v: K2.fir_filter(v, taps, backend="xla"),
+       lambda v: fir_mxu_pallas(v, taps, precision=_j.lax.Precision.HIGH),
+       arrs, check_atol=5e-3, work_samples=n, bytes_io=16 * n)
+    from ofdm_uhd_tpu.kernels.pallas_shift import fir_shift_pallas
+    ab("fir-97t-shift", lambda v: K2.fir_filter(v, taps, backend="xla"),
+       lambda v: fir_shift_pallas(v, taps),
+       arrs, check_atol=1e-3, work_samples=n, bytes_io=16 * n)
     ab("decim-8x", lambda v: K2.polyphase_decim(v, 8, taps, backend="xla"),
        lambda v: K2.polyphase_decim(v, 8, taps, backend="pallas"), arrs,
        check_atol=1e-3, work_samples=n, bytes_io=9 * n)

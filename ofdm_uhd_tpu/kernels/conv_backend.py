@@ -46,7 +46,8 @@ def _band_matrix(kern_key: tuple, c: int, k: int, stride: int,
 
 
 def _conv1d(x: jax.Array, kernels, pad_left: int, pad_right: int,
-            stride: int = 1, blk: int = 512) -> jax.Array:
+            stride: int = 1, blk: int | None = None,
+            precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Batched 1-D cross-correlation: x [B, n], kernels [C, K] -> [B, C, n_out].
 
     out[b, c, i] = sum_t kernels[c, t] * x[b, i*stride - pad_left + t]
@@ -55,10 +56,25 @@ def _conv1d(x: jax.Array, kernels, pad_left: int, pad_right: int,
     block reads a (blk-1)*stride + K input window assembled from two
     consecutive stride*blk input blocks (one reshape + one shifted
     reshape — no gathers).
+
+    blk sets the dense band's MAC inflation, ((blk-1)*stride + K) / K:
+    the r3 default blk=512 ran the 193-tap prototype at 3.6x (stride 1)
+    to 22x (stride 8) inflation and measured <=9.4% of the HBM roofline
+    (kab_r4net) — these kernels are MXU-bound, not HBM-bound, so the
+    default now scales blk DOWN until the window is ~2 taps wide
+    (inflation ~2x) with a 128-lane floor for full MXU output width.
+    precision: HIGHEST (6-pass bf16 = f32-exact products; the default
+    everywhere correctness gates compare bit-level) or HIGH (3-pass,
+    ~1e-6 relative error, 2x MXU throughput) for callers whose gates are
+    EVM-level.
     """
     kern = np.asarray(kernels, dtype=np.float32)
     c, k = kern.shape
     b, n = x.shape
+    if blk is None:
+        # inflation ((blk-1)*stride + k)/k ~ 2 => blk ~ k/stride, floored
+        # at 128 output lanes (a narrower matmul wastes MXU columns)
+        blk = max(128, 1 << int(np.ceil(np.log2(max(k / max(stride, 1), 1)))))
     ablk = blk * stride
     assert k <= ablk + stride, "taps longer than a block: raise blk"
     blk_in = (blk - 1) * stride + k
@@ -73,7 +89,7 @@ def _conv1d(x: jax.Array, kernels, pad_left: int, pad_right: int,
     win = jnp.concatenate([a, nxt], axis=-1)[..., :blk_in]   # [b, nb, blk_in]
     band = jnp.asarray(_band_matrix(tuple(kern.ravel().tolist()), c, k,
                                     stride, blk))
-    y = _MM(win, band)                             # [b, nb, C*blk]
+    y = jnp.matmul(win, band, precision=precision)  # [b, nb, C*blk]
     y = y.reshape(b, nb, c, blk).transpose(0, 2, 1, 3).reshape(
         b, c, nb * blk)[..., :n_out]
     return y

@@ -192,7 +192,9 @@ def _fir_phase_kernel(nd: int, cp: int, x_ref, h_ref, k_ref, y_ref,
     y_ref[:] = acc_scr[:]
 
 
-_CP_FIR = 32768      # plane-kernel column tile (2 MB per [16, CP] block)
+_CP_FIR = 4096       # plane-kernel column tile (VMEM: Mosaic
+                     # materializes each slice-FMA temp, so ~nd
+                     # live [rows, CP] arrays bound CP)
 
 
 def _fir_shift_phased(x: jax.Array, taps: np.ndarray) -> jax.Array:
@@ -310,7 +312,7 @@ def sc_correlate_shift_pallas(r: jax.Array, l: int
 
 # ------------------------------------------------------------- decimation
 
-_CP_DEC = 32768      # decimated-rate column tile
+_CP_DEC = 4096       # decimated-rate column tile (see _CP_FIR)
 
 
 def _decim_kernel(m: int, nd: int, pt: int, x_ref, h_ref, k_ref, y_ref):
@@ -382,7 +384,7 @@ def polyphase_decim_shift_pallas(x: jax.Array, m: int,
 
 # ----------------------------------------------------------- interpolation
 
-_CP_INT = 16384
+_CP_INT = 4096
 
 
 def _interp_kernel(l: int, nd: int, x_ref, h_ref, k_ref, y_ref):

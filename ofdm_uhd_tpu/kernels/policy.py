@@ -33,28 +33,60 @@ the committed jsonl and FAILS if this table drifts from the measurement.
   decim       8x      xla         0.05x (in-chain confirmation: C4 ran
                                   478 Msps xla vs 241 pallas)
   sc_corr     128     xla         0.04x
-  viterbi     n=6912  regime-dependent: the fused Pallas kernel wins the
-                      LATENCY regime — 3.71x at batch 130 (kab_r4net:
-                      net 1.75 ms vs the scan's 6.48) — because its
-                      wall-clock is the sequential trellis, amortized
-                      across at most a few hundred lanes; at large batch
-                      the scan's per-step cost amortizes over the batch
-                      and overtakes it (scan wins 1.3x at 1040, 2.4x at
-                      4160). 'auto' routes batch <=
-                      _VITERBI_PALLAS_MAX_BATCH (streaming steps decode
-                      ~18 slots/shard; single captures ~130 frames) to
-                      the fused kernel and keeps the scan for
-                      headline-batch captures.
+  viterbi     n=6912  regime-dependent, and an ALGORITHM choice as much
+                      as a backend one (viterbi_impl): the fused Pallas
+                      kernel wins only the deep-latency regime (batch
+                      <= ~96: streaming steps decode ~18 slots/shard);
+                      the windowed-parallel XLA decoder wins the middle
+                      (1.43/5.52 ms at batch 130/1040 vs scan 6.48/
+                      10.25); the full scan retakes the headline batch
+                      (23.4 vs 26.7 ms at 4160). All bit-exact on
+                      decodable frames; kab_r4net viterbi* rows.
 """
 
 from __future__ import annotations
 
-# Measured crossover bound for the fused Pallas Viterbi (bit-exact either
-# way; this is purely a speed decision). kab_r4net batch sweep: fused
-# wins 3.71x at batch 130 (net 1.75 vs 6.48 ms), loses at 1040 (13.4 vs
-# 10.2) and 4160 (57.0 vs 23.4) — the linear cost models cross at
-# ~670 frames; 512 keeps a safety margin on the fused side.
-_VITERBI_PALLAS_MAX_BATCH = 512
+# Viterbi decoder-ALGORITHM crossovers (kab_r4net batch sweep at n=6912,
+# all three bit-exact on every decodable frame; net ms):
+#     batch   scan   windowed   fused-pallas
+#     130     6.48   1.43       1.75
+#     1040    10.25  5.52       13.4
+#     4160    23.40  26.7       57.0
+# Linear cost models: fused ~0.08 + 12.8us*B beats windowed ~0.85 +
+# 4.5us*B below B~93 (the streaming ~18-slot regime); windowed beats the
+# scan up to B~2600 (the scan's lower HBM slope takes over at headline
+# batch). Bounds sit inside the measured brackets with margin.
+_VITERBI_FUSED_MAX_BATCH = 96
+_VITERBI_WINDOWED_MAX_BATCH = 2048
+
+
+def viterbi_impl(size: int, batch: int | None, requested: str = "auto",
+                 mode: str = "scan") -> str:
+    """Pick the Viterbi decoder implementation: 'fused' (Pallas
+    whole-decode kernel), 'windowed' (XLA windowed-parallel scan), or
+    'scan' (XLA full-sequence scan).
+
+    All three emit identical bits on every decodable frame; the windowed
+    forms can differ from the full scan only on CRC-failing garbage
+    (survivor non-merge — phy.bits.viterbi_decode_windowed docstring),
+    which the chain's CRC gate already discards, so 'auto' is free to
+    route on speed alone. requested='pallas' forces the fused kernel;
+    'xla' respects the spec's viterbi_mode; 'auto' uses the measured
+    batch crossovers above (unknown batch -> scan, the conservative
+    large-batch winner).
+    """
+    if requested == "pallas":
+        return "fused"
+    if requested != "auto":
+        return "windowed" if mode == "windowed" else "scan"
+    if batch is None:
+        return "scan"
+    if batch <= _VITERBI_FUSED_MAX_BATCH:
+        return "fused"
+    if batch <= _VITERBI_WINDOWED_MAX_BATCH:
+        return "windowed"
+    return "scan"
+
 
 # Pallas is selected iff predicate(size, n) is true; absent kernels -> xla.
 # size = the kernel's characteristic size (FFT length, resample factor,
@@ -62,8 +94,7 @@ _VITERBI_PALLAS_MAX_BATCH = 512
 # (None when the dispatcher doesn't plumb it -> conservative xla).
 _PALLAS_WINS = {
     "fft": lambda size, n: size == 256,
-    "viterbi": lambda size, n: (n is not None
-                                and n <= _VITERBI_PALLAS_MAX_BATCH),
+    "viterbi": lambda size, n: viterbi_impl(size, n) == "fused",
 }
 
 

@@ -174,18 +174,21 @@ def _decode(spec: WaveformSpec, llr: jax.Array,
     llr_d = PB.deinterleave_soft(llr, spec.coded_bits_per_sym)
     llr_d = PB.depuncture_llr(llr_d, spec.fec_rate,
                               2 * spec.uncoded_bits_per_frame)
-    # regime-aware routing (kernels/policy.py): the fused Pallas kernel
-    # wins the LATENCY regime (streaming steps decode ~18 slots/shard,
-    # single captures ~130 frames: measured 4.92x at batch 130); at
-    # headline capture batches the scan decoder amortizes and wins.
-    # 'pallas'/'xla' force their tier; every path is bit-identical.
+    # regime-aware routing (kernels/policy.viterbi_impl, measured in
+    # kab_r4net): fused Pallas kernel for deep-latency batches (streaming
+    # steps decode ~18 slots/shard), windowed-parallel XLA for the middle
+    # (single captures ~130 frames), full scan for headline batches.
+    # 'pallas'/'xla' force their tier; all emit identical bits on every
+    # decodable frame (windowed can differ from the scan only on
+    # CRC-failing garbage — the CRC gate discards those either way).
     batch = max(llr_d.shape[0], batch_hint or 0)
-    backend = policy.choose("viterbi", size=llr_d.shape[-1] // 2,
-                            requested=spec.kernel_backend, n=batch)
-    if backend == "pallas":
+    impl = policy.viterbi_impl(llr_d.shape[-1] // 2, batch,
+                               requested=spec.kernel_backend,
+                               mode=spec.viterbi_mode)
+    if impl == "fused":
         from ..kernels.pallas_viterbi import viterbi_pallas
         decoded = viterbi_pallas(llr_d, impl=spec.viterbi_impl)
-    elif spec.viterbi_mode == "windowed":
+    elif impl == "windowed":
         decoded = PB.viterbi_decode_windowed(llr_d)
     else:
         decoded = PB.viterbi_decode(llr_d)

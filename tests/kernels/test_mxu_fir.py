@@ -1,0 +1,63 @@
+"""Equality of the row-major MXU banded tier (pallas_fir_mxu) vs
+conv_backend — interpret mode on CPU; on-chip A/B in bench/kernels_ab.py."""
+
+import numpy as np
+import pytest
+
+from ofdm_uhd_tpu.kernels import conv_backend as CB
+from ofdm_uhd_tpu.kernels import pallas_fir_mxu as PM
+from ofdm_uhd_tpu.phy.tables import resample_filter
+
+rng = np.random.default_rng(11)
+
+
+def _sig(shape):
+    return (rng.normal(size=shape) + 1j * rng.normal(size=shape)
+            ).astype(np.complex64)
+
+
+@pytest.mark.parametrize("shape", [(5000,), (3, 4500)])
+def test_fir_mxu_matches_xla(shape):
+    taps = np.asarray(resample_filter(8, 1))
+    x = _sig(shape)
+    ref = np.asarray(CB.fir_same(x, taps))
+    got = np.asarray(PM.fir_mxu_pallas(x, taps))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_fir_mxu_short_taps():
+    taps = np.asarray([0.25, 0.5, 0.25], np.float32)
+    x = _sig((2, 1000))
+    np.testing.assert_allclose(np.asarray(PM.fir_mxu_pallas(x, taps)),
+                               np.asarray(CB.fir_same(x, taps)), atol=1e-6)
+
+
+@pytest.mark.parametrize("m,n", [(8, 40960), (2, 9000)])
+def test_decim_mxu_matches_xla(m, n):
+    taps = np.asarray(resample_filter(m, 1))
+    x = _sig((n,))
+    ref = np.asarray(CB.polyphase_decim_xla(x, m, taps))
+    got = np.asarray(PM.polyphase_decim_mxu_pallas(x, m, taps))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("l,n", [(8, 5120), (2, 3000)])
+def test_interp_mxu_matches_xla(l, n):
+    taps = np.asarray(resample_filter(l, 1))
+    x = _sig((n,))
+    ref = np.asarray(CB.polyphase_interp_xla(x, l, taps))
+    got = np.asarray(PM.polyphase_interp_mxu_pallas(x, l, taps))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_fir_mxu_batched_high_precision():
+    taps = np.asarray(resample_filter(8, 1))
+    x = _sig((4, 20000))
+    import jax
+    ref = np.asarray(CB.fir_same(x, taps))
+    got = np.asarray(PM.fir_mxu_pallas(x, taps,
+                                       precision=jax.lax.Precision.HIGH))
+    np.testing.assert_allclose(got, ref, atol=2e-3)

@@ -41,9 +41,9 @@ _NAME_RE = [
      lambda m: ("viterbi", int(m[1]), int(m[2]))),
 ]
 
-# Rows that A/B two XLA formulations (or carry no pallas column) — not a
-# policy decision.
-_SKIP = re.compile(r"^viterbi-win")
+# viterbi rows feed the dedicated three-way algorithm audit below, not
+# the backend-table loop.
+_SKIP = re.compile(r"^viterbi")
 
 # The net slope's session-to-session jitter: treat |speedup - 1| below
 # this as a tie either backend may take.
@@ -108,11 +108,57 @@ def test_policy_matches_newest_net_bench():
     assert checked >= 6, f"only {checked} auditable rows in {path}"
 
 
+def test_viterbi_impl_matches_newest_net_bench():
+    """Three-way decoder-algorithm audit: for every measured batch, the
+    argmin of {scan (viterbi-* xla), windowed (viterbi-win-*), fused
+    (viterbi-* pallas)} must be what viterbi_impl('auto') picks."""
+    from ofdm_uhd_tpu.kernels.policy import viterbi_impl
+    path = _newest_net_jsonl()
+    rows = [json.loads(ln) for ln in open(path) if ln.strip()]
+    by_name = {}
+    for r in rows:
+        if "kernel" in r:
+            by_name[r["kernel"]] = r
+    grid = {}          # batch -> {impl: net_ms}
+    for name, r in by_name.items():
+        m = re.match(r"^viterbi(-win)?-(\d+)(?:-b(\d+))?$", name)
+        if not m:
+            continue
+        win, size, b = m[1], int(m[2]), int(m[3] or 130)
+        d = grid.setdefault(b, {})
+        if win:
+            if r.get("xla_net_ms") is not None:
+                d["windowed"] = r["xla_net_ms"]
+        else:
+            if r.get("xla_net_ms") is not None:
+                d["scan"] = r["xla_net_ms"]
+            if r.get("pallas_net_ms") is not None:
+                d["fused"] = r["pallas_net_ms"]
+    checked, problems = 0, []
+    for b, d in sorted(grid.items()):
+        if len(d) < 2:
+            continue
+        best = min(d, key=d.get)
+        second = sorted(d.values())[1]
+        if second / d[best] - 1.0 <= _TIE_BAND:
+            continue
+        got = viterbi_impl(6912, b, "auto")
+        checked += 1
+        if got != best:
+            problems.append(f"batch {b}: measured best {best} ({d}) but "
+                            f"viterbi_impl -> {got}")
+    assert not problems, "\n".join(problems)
+    assert checked >= 2, f"only {checked} auditable viterbi batches in {path}"
+
+
 def test_viterbi_regime_routing():
-    """The fused kernel serves the latency regime, the scan the headline
-    batch; unknown batch falls back conservatively to xla."""
-    assert choose("viterbi", 6912, "auto", n=18) == "pallas"   # streaming
-    assert choose("viterbi", 6912, "auto", n=130) == "pallas"  # 1 capture
-    assert choose("viterbi", 6912, "auto", n=4160) == "xla"    # headline
-    assert choose("viterbi", 6912, "auto", n=None) == "xla"
-    assert choose("viterbi", 6912, "pallas", n=4160) == "pallas"  # forced
+    """Deep-latency -> fused, middle -> windowed, headline -> scan;
+    unknown batch falls back conservatively to the scan; explicit
+    backend requests are honored."""
+    from ofdm_uhd_tpu.kernels.policy import viterbi_impl
+    assert viterbi_impl(6912, 18, "auto") == "fused"      # streaming
+    assert viterbi_impl(6912, 130, "auto") == "windowed"  # 1 capture
+    assert viterbi_impl(6912, 4160, "auto") == "scan"     # headline
+    assert viterbi_impl(6912, None, "auto") == "scan"
+    assert viterbi_impl(6912, 4160, "pallas") == "fused"  # forced
+    assert viterbi_impl(6912, 18, "xla", mode="windowed") == "windowed"
