@@ -60,6 +60,7 @@ VARIANTS = {
     # the measured bottleneck of the fc32 path); the chain after the
     # conversion is identical. Fastest-known variant first so a later hang
     # can't cost the banked number.
+    "auto-sc16": ({"kernel_backend": "auto"}, "sc16"),
     "xla-sc16": ({}, "sc16"),
     "xla": ({}, "fc32"),
     "pallas-sc16": ({"kernel_backend": "pallas"}, "sc16"),

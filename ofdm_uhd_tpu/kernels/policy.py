@@ -6,9 +6,8 @@ path as fallback… Pallas must beat or match it to justify itself").
 measurably loses to XLA on this chip (bench/results/kab_r*.jsonl). 'auto'
 resolves each kernel call to its MEASURED winner per kernel, size, and
 regime, so the honest fastest bit-exact configuration can mix tiers (e.g.
-Pallas fft-256 in the C3 RX path + XLA interp-8x in the C4 TX path, and
-the fused Pallas Viterbi in the latency regime while large-batch captures
-keep the scan decoder).
+Pallas fft-256 + MXU-banded fir/interp next to XLA decim/sc_corr, and a
+three-way Viterbi algorithm choice by batch regime).
 
 The table encodes the on-chip A/B (TPU v5e; regenerate with
 `python bench/kernels_ab.py`). AUTHORITATIVE source: the newest
@@ -20,19 +19,25 @@ the net columns are stable and physically plausible (GB/s <= HBM peak).
 tests/kernels/test_policy_matches_bench.py re-derives every winner from
 the committed jsonl and FAILS if this table drifts from the measurement.
 
-  kernel      size    net winner  pallas/xla net speedup (kab_r3net)
-  fft         64      xla         0.47x (xla runs 547 GB/s = 67% of HBM
+  kernel      size    net winner  pallas/xla net speedup (kab_r4net)
+  fft         64      xla         0.51x (xla runs 511 GB/s = 62% of HBM
                                   SoL here — near speed-of-light already)
-  fft         256     pallas      1.16x (Karatsuba 3-matmul complex DFT)
-  fft         1024    xla         0.30x (compiles now — the r2 Mosaic
-                                  HTTP-500 wall is gone — but loses)
-  cpfft       64-256  xla         0.59-0.74x
-  ifftcp      64-256  xla         0.67x
-  fir         97      xla         0.11x
-  interp      8x      xla         0.48x
-  decim       8x      xla         0.05x (in-chain confirmation: C4 ran
-                                  478 Msps xla vs 241 pallas)
-  sc_corr     128     xla         0.04x
+  fft         256     pallas      1.20x (Karatsuba 3-matmul complex DFT;
+                                  stable across r3/r4 sessions)
+  fft         1024    xla         0.29x
+  cpfft       64-256  xla         0.57-0.74x
+  ifftcp      64-256  xla         0.66-0.74x
+  fir         193t    PALLAS      1.14x (pallas_fir_mxu row-major banded
+                                  two-matmul, 95.6 GB/s vs xla auto-blk
+                                  84.0; the r2/r4 pallas tiers lost —
+                                  see pallas_fir_mxu docstring)
+  interp      8x      PALLAS      6.2x (84.9 GB/s vs 13.8 — the XLA
+                                  branch-matrix form pays a window +
+                                  branch transpose it cannot fuse)
+  decim       8x      xla         0.97x tie (93.2 vs 90.1 GB/s; xla
+                                  auto-blk=128 closed the r3 gap, tie ->
+                                  fallback doctrine keeps xla)
+  sc_corr     128     xla         0.46x (doubling form at 78 GB/s)
   viterbi     n=6912  regime-dependent, and an ALGORITHM choice as much
                       as a backend one (viterbi_impl): the fused Pallas
                       kernel wins only the deep-latency regime (batch
@@ -94,6 +99,12 @@ def viterbi_impl(size: int, batch: int | None, requested: str = "auto",
 # (None when the dispatcher doesn't plumb it -> conservative xla).
 _PALLAS_WINS = {
     "fft": lambda size, n: size == 256,
+    # fir: the MXU banded tier wins at the 193-tap prototype (and any
+    # long filter — the win comes from killing the window/transpose
+    # materializations, which grow with taps); short smoothing kernels
+    # are unmeasured -> xla.
+    "fir": lambda size, n: size >= 64,
+    "interp": lambda size, n: True,
     "viterbi": lambda size, n: viterbi_impl(size, n) == "fused",
 }
 
