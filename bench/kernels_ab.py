@@ -303,6 +303,15 @@ def main():
            check_atol=0, work_samples=bsz * nb, bytes_io=9 * bsz * nb,
            k_stack=2 if bsz > 200 else None,
            r_lo=rspan[0], r_hi=rspan[1])
+        if bsz == 4160:
+            # geometry sweep at the headline batch: window=512/overlap=96
+            # spends 2*96/512 = 37% of its ACS on overlap; 1024/96 cuts
+            # that to ~19% — the knob that could retake the scan's 23.4 ms
+            ab("viterbi-win1024-6912-b4160",
+               lambda v: viterbi_decode_windowed(v, window=1024, overlap=96),
+               None, arrs, check_atol=0, work_samples=bsz * nb,
+               bytes_io=9 * bsz * nb, k_stack=2,
+               r_lo=rspan[0], r_hi=rspan[1])
 
     if args.jsonl:
         lg = JsonlLogger(args.jsonl)

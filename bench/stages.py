@@ -108,7 +108,7 @@ def main():
     results = {}
     results_net = {}
 
-    def stage(name, fn, argsets, scale=1):
+    def stage(name, fn, argsets, scale=1, raw=None):
         try:
             dt, _ = time_fn(fn, argsets, args.iters)
         except Exception as e:
@@ -116,14 +116,20 @@ def main():
             return
         results[name] = dt
         net_txt = ""
-        if args.net:
+        if args.net and raw is not None:
+            # net timing must trace the RAW fn inside the rep loop (a
+            # jit_planar wrapper np-encodes at the python boundary and
+            # cannot take tracers); planarize decodes the stacked Planar
+            # leaves inside the trace.
             from bench_lib import net_time
+            from ofdm_uhd_tpu.core import boundary
             import jax as _jax
             try:
                 stacked = _jax.tree.map(
                     lambda *ls: _jax.numpy.stack(ls), *[a[0] for a in argsets])
                 r_hi = max(16, min(2048, int(2.0 / max(dt, 1e-5))))
-                net = net_time(fn, stacked, iters=args.iters,
+                net = net_time(boundary.planarize(raw), stacked,
+                               iters=args.iters,
                                r_lo=max(2, r_hi // 16), r_hi=r_hi)
                 results_net[name] = net
                 net_txt = (f"   net {net*1e3:8.3f} ms "
@@ -133,13 +139,12 @@ def main():
         log(f"# {name:<10} {dt*1e3:8.2f} ms   "
             f"{scale * n / dt / 1e6:9.1f} Msps{net_txt}")
 
-    corr = jit_planar(lambda c: sc_metric(*sc_correlate(
-        c, spec.n_sc // 2, backend=args.backend)))
-    stage("corr", corr, [(x,) for x in xs])
+    corr_raw = lambda c: sc_metric(*sc_correlate(
+        c, spec.n_sc // 2, backend=args.backend))
+    stage("corr", jit_planar(corr_raw), [(x,) for x in xs], raw=corr_raw)
 
-    detect = jit_planar(functools.partial(PS.detect_frames, spec,
-                                          max_frames=mf))
-    stage("detect", detect, [(x,) for x in xs])
+    det_raw = functools.partial(PS.detect_frames, spec, max_frames=mf)
+    stage("detect", jit_planar(det_raw), [(x,) for x in xs], raw=det_raw)
 
     def _extract(c):
         # mirrors pipeline/rx._rx_capture: fused window-local derotation
@@ -148,36 +153,41 @@ def main():
         frames = PS.extract_frames(spec, c, ds)
         k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
         return PS.cfo_correct(frames, eps_f + k, spec.n_sc)
-    stage("det+ext", jit_planar(_extract), [(x,) for x in xs])
+    stage("det+ext", jit_planar(_extract), [(x,) for x in xs],
+          raw=_extract)
 
     # aligned frames for the back half
     frames_np = np.stack([cap[:spec.frame_len]] * mf)
     fxs = variants(frames_np)
-    frontend = jit_planar(functools.partial(RXP._frontend, spec, shift=4))
-    stage("frontend", frontend, [(f,) for f in fxs], scale=0)
+    fe_raw = functools.partial(RXP._frontend, spec, shift=4)
+    stage("frontend", jit_planar(fe_raw), [(f,) for f in fxs], scale=0,
+          raw=fe_raw)
 
     llr_np = np.random.default_rng(0).normal(
         size=(mf, spec.coded_bits_per_frame)).astype(np.float32)
     lxs = variants(llr_np)
-    stage("decode", jit_planar(functools.partial(RXP._decode, spec)),
-          [(v,) for v in lxs], scale=0)
+    dec_raw = functools.partial(RXP._decode, spec)
+    stage("decode", jit_planar(dec_raw), [(v,) for v in lxs], scale=0,
+          raw=dec_raw)
     vit_np = np.random.default_rng(1).normal(
         size=(mf, 2 * spec.uncoded_bits_per_frame)).astype(np.float32)
     stage("vit-win", jax.jit(PB.viterbi_decode_windowed),
-          [(v,) for v in variants(vit_np)], scale=0)
+          [(v,) for v in variants(vit_np)], scale=0,
+          raw=PB.viterbi_decode_windowed)
 
     rx = RxPipeline(spec)
+    full_raw = functools.partial(RXP._rx_capture, spec, 0.5, True,
+                                 max_frames=mf)
     stage("full", lambda c: rx.rx_capture(c, max_frames=mf),
-          [(x,) for x in xs])
+          [(x,) for x in xs], raw=full_raw)
 
     if args.batch > 1:
         caps = np.stack([cap] * args.batch)
         bxs = variants(caps)
-        batched = jit_planar(jax.vmap(
-            functools.partial(RXP._rx_capture, spec, 0.5, True,
-                              max_frames=mf)))
-        stage(f"full-x{args.batch}", batched, [(b,) for b in bxs],
-              scale=args.batch)
+        braw = jax.vmap(functools.partial(RXP._rx_capture, spec, 0.5,
+                                          True, max_frames=mf))
+        stage(f"full-x{args.batch}", jit_planar(braw), [(b,) for b in bxs],
+              scale=args.batch, raw=braw)
 
     tot = results.get("full", 0.0)
     log(f"# stage sum (corr..decode along capture path) vs full={tot*1e3:.2f} ms")

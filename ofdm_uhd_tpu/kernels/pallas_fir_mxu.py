@@ -32,8 +32,10 @@ blk=128, m=8 that is 6.6x, acceptable because the MXU at these shapes is
 ~500x the VPU alternative.
 
 precision: HIGHEST (6-pass bf16, f32-exact products) by default to match
-conv_backend bit-level gates; HIGH (3-pass, ~1e-6 relative) doubles MXU
-throughput where EVM-level accuracy suffices.
+conv_backend bit-level gates. Mosaic rejects HIGH in-kernel
+("Unsupported dot precision", r4); DEFAULT (1-pass bf16, ~0.4% relative)
+measured fir 140 / decim 103 / interp 188 GB/s (probe17) and is exposed
+for EVM-grade callers.
 """
 
 from __future__ import annotations
@@ -95,7 +97,7 @@ def _mxu_kernel(precision, hp: int, x_ref, h_ref, a_ref, b_ref, y_ref):
                   preferred_element_type=jnp.float32))
 
 
-def _fir_rows_mxu(planes: jax.Array, w: np.ndarray, pad_l: int,
+def _fir_rows_mxu(planes: jax.Array, w: np.ndarray,
                   stride: int, blk: int, tr: int, precision) -> jax.Array:
     """[B, n_in] padded-signal planes -> [B, n_out_padded] outputs.
 
@@ -140,7 +142,7 @@ def fir_mxu_pallas(x: jax.Array, taps, blk: int = 256, tr: int = 512,
     n = x.shape[-1]
     planes, info = _split_complex(x)
     xp = jnp.pad(planes, ((0, 0), (pad_l, 0)))
-    y = _fir_rows_mxu(xp, w, pad_l, stride=1, blk=blk, tr=tr,
+    y = _fir_rows_mxu(xp, w, stride=1, blk=blk, tr=tr,
                       precision=precision)[:, :n]
     return _merge_complex(y, info, n)
 
@@ -160,7 +162,7 @@ def polyphase_decim_mxu_pallas(x: jax.Array, m: int, taps,
     n_out = n_in // m
     planes, info = _split_complex(x)
     xp = jnp.pad(planes, ((0, 0), (pad_l, 0)))
-    y = _fir_rows_mxu(xp, w, pad_l, stride=m, blk=blk, tr=tr,
+    y = _fir_rows_mxu(xp, w, stride=m, blk=blk, tr=tr,
                       precision=precision)[:, :n_out]
     return _merge_complex(y, info, n_out)
 
