@@ -1,0 +1,53 @@
+"""_select_doubling (parallel successor-matrix selection) must be
+BIT-IDENTICAL to _select_scan (the sequential oracle) — the r4 detection
+speedup is pure re-expression, not a semantics change."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ofdm_uhd_tpu.core.spec import config
+from ofdm_uhd_tpu.phy.sync import _select_scan, _select_doubling
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_doubling_equals_scan_random(seed):
+    spec = config("c3")
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(4, 80))
+    nd = 200000
+    # random ascending candidate positions with clusters (same-plateau
+    # re-crossings), sentinel tail, random validity
+    n_found = int(rng.integers(0, m + 1))
+    base = np.sort(rng.integers(0, nd, n_found))
+    # inject near-duplicates to emulate plateau re-crossings
+    if n_found > 2:
+        base[1] = base[0] + int(rng.integers(1, spec.sym_len))
+    cand = np.concatenate([base, np.full(m - n_found, nd)]).astype(np.int32)
+    ds = np.maximum(cand - int(rng.integers(0, spec.cp + 1)), 0)
+    valid = rng.random(m) < 0.8
+    found = cand < nd
+    slack = spec.sym_len
+    a = np.asarray(_select_scan(spec, jnp.asarray(cand), jnp.asarray(ds),
+                                jnp.asarray(valid), jnp.asarray(found),
+                                slack))
+    b = np.asarray(_select_doubling(spec, jnp.asarray(cand),
+                                    jnp.asarray(ds), jnp.asarray(valid),
+                                    jnp.asarray(found), slack))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_doubling_dead_halt():
+    """An eligible-but-invalid candidate halts the chain (frame past the
+    capture end) — nothing after it may be kept."""
+    spec = config("c1")
+    cand = jnp.asarray([100, 100 + spec.frame_len + 10,
+                        100 + 2 * spec.frame_len + 20], jnp.int32)
+    ds = cand
+    valid = jnp.asarray([True, False, True])
+    found = jnp.asarray([True, True, True])
+    a = np.asarray(_select_scan(spec, cand, ds, valid, found, spec.sym_len))
+    b = np.asarray(_select_doubling(spec, cand, ds, valid, found,
+                                    spec.sym_len))
+    np.testing.assert_array_equal(a, b)
+    assert list(b) == [True, False, False]
