@@ -188,6 +188,15 @@ def main():
                                           True, max_frames=mf))
         stage(f"full-x{args.batch}", jit_planar(braw), [(b,) for b in bxs],
               scale=args.batch, raw=braw)
+        # batched per-stage attribution: the chain amortizes differently
+        # under vmap (e.g. the selection scan batches its scalar steps),
+        # so per-capture nets do NOT extrapolate — measure the vmapped
+        # stages at the same batch as full-xN
+        for nm, raw1 in (("corr", corr_raw), ("detect", det_raw),
+                         ("det+ext", _extract)):
+            vraw = jax.vmap(raw1)
+            stage(f"{nm}-x{args.batch}", jit_planar(vraw),
+                  [(b,) for b in bxs], scale=args.batch, raw=vraw)
 
     tot = results.get("full", 0.0)
     log(f"# stage sum (corr..decode along capture path) vs full={tot*1e3:.2f} ms")

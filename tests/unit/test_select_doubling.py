@@ -51,3 +51,27 @@ def test_doubling_dead_halt():
                                     spec.sym_len))
     np.testing.assert_array_equal(a, b)
     assert list(b) == [True, False, False]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_first_k_indices_matches_topk(seed):
+    """Hierarchical extraction == direct top_k whenever <= _EXTRACT_S
+    rises per 512-block (every non-adversarial bitmap)."""
+    from ofdm_uhd_tpu.phy.sync import _first_k_indices
+    import jax
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(20000, 80000))
+    rise = np.zeros(n, bool)
+    # sparse rises (well under the 8-per-512-block capacity) with
+    # occasional small clusters
+    pts = rng.choice(n // 512, size=int(rng.integers(0, 40)),
+                     replace=False) * 512 + rng.integers(0, 500)
+    rise[pts] = True
+    for p in pts[:5]:
+        rise[min(n - 1, p + int(rng.integers(1, 12)))] = True
+    k = 64
+    idx = jnp.where(jnp.asarray(rise), jnp.arange(n, dtype=jnp.int32),
+                    jnp.int32(n))
+    ref = np.asarray(-jax.lax.top_k(-idx, k)[0])
+    got = np.asarray(_first_k_indices(jnp.asarray(rise), k, sentinel=n))
+    np.testing.assert_array_equal(got, ref)
