@@ -246,13 +246,19 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
                                         threshold=threshold,
                                         threshold_mode=threshold_mode)
     frames = PS.extract_frames(spec, capture, ds)
-    # fused CFO: the integer search derotates only its own sym-B window by
-    # eps_f, then ONE full-frame ramp applies the composed total — the
-    # ramps compose analytically, so the second full-frame exp/multiply
-    # pass of the two-step form is saved (VERDICT r2 item 3b)
-    k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
+    # two full-frame ramps, NOT the r2 "fused CFO" window-derot form: on
+    # this backend an elementwise multiply against a window SLICED from
+    # the frame gather costs ~15 ms at the headline batch (probe20-23 —
+    # consumers of gather outputs lower pathologically) while full-frame
+    # ramps on the same gather are ~1 ms each, so derotating the whole
+    # frame first and searching the clean window is 6 ms/dispatch
+    # faster. Numerics: two ramps differ from the composed ramp by ~1
+    # ulp (fl(e^a)*fl(e^b) vs fl(e^{a+b})) — k decisions and every
+    # CRC/EVM gate are unaffected.
+    frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
+    k = PS.integer_cfo(spec, frames)
     eps = eps_f + k.astype(jnp.float32)
-    frames = PS.cfo_correct(frames, eps, spec.n_sc)
+    frames = PS.cfo_correct(frames, k.astype(jnp.float32), spec.n_sc)
     out = _demod_frames(spec, frames, shift=min(4, spec.cp // 4), diag=diag,
                         batch_hint=batch_hint)
     out.update({"d": ds, "eps": eps, "valid": valid,
