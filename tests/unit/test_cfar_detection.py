@@ -75,3 +75,31 @@ def test_cfar_matches_fixed_on_clean_capture():
     assert np.asarray(cfar["crc_ok"]).sum() == 4
     assert np.array_equal(
         np.asarray(cfar["payload"])[np.asarray(cfar["valid"])], payloads)
+
+
+def test_cfar_streaming_plumbing():
+    """StreamRx(threshold_mode='cfar') reaches the shard detector (the
+    (threshold, mode) tuple path) and decodes a clean stream identically
+    to fixed mode."""
+    import jax
+    from ofdm_uhd_tpu.pipeline.stream import StreamRx
+    from ofdm_uhd_tpu.shard.mesh import make_mesh
+    spec = config("c5")
+    gm = GoldenModem(spec)
+    rng = np.random.default_rng(4)
+    pls = rng.integers(0, 2, (3, spec.payload_bits_per_frame)).astype(np.uint8)
+    stream = np.concatenate(
+        [np.zeros(400, np.complex64)]
+        + [np.concatenate([gm.modulate_frame(p).astype(np.complex64),
+                           np.zeros(500, np.complex64)]) for p in pls])
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    chunk = 2 * max(spec.frame_len + spec.n_sc, spec.frame_len + spec.cp)
+    out = {}
+    for mode in ("fixed", "cfar"):
+        rx = StreamRx(spec, mesh=mesh, chunk_len=chunk, threshold_mode=mode)
+        got = rx.process(stream) + rx.flush()
+        assert len(got) == 3 and all(
+            g.crc_ok and np.array_equal(g.payload, p)
+            for g, p in zip(got, pls)), mode
+        out[mode] = [(g.start, bytes(g.payload)) for g in got]
+    assert out["fixed"] == out["cfar"]
