@@ -139,6 +139,7 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
 
 _EXTRACT_BS = 512      # block size of the hierarchical index extraction
 _EXTRACT_S = 8         # rising-edge capacity per block
+_SEL_KB = 256          # selection-doubling block (cost ~ M * KB^2 log KB)
 
 
 def _first_k_indices(rise: jax.Array, k: int, sentinel: int) -> jax.Array:
@@ -226,31 +227,73 @@ def _select_doubling(spec: WaveformSpec, cand, ds_c, valid_c, found_c,
     so every entry stays 0/1 and f32 matmuls are exact). ~10 matmuls of
     [536, 536] on the MXU replace a 536-step scalar scan.
 
+    Cost control: the doubling is cubic in the candidate count, which
+    grows with the detection window (streaming at 4M-sample chunks has
+    ~4k slots — a single [4k, 4k] doubling measured as the capacity
+    collapse in r4.jsonl). Candidates are therefore processed in BLOCKS
+    of _SEL_KB: doubling within each block, and a tiny (pos, dead) carry
+    — the sequential rule's own state — rides a lax.scan across blocks
+    (nb scalar-ish steps; the chain's block entry node is the first
+    eligible candidate under the carried pos, and a chain that leaves a
+    block simply has no in-block successor edge). Total cost drops from
+    M^3 log M to M * KB^2 log KB.
+
     Equivalence is asserted against _select_scan over randomized
-    candidate geometries in tests/unit/test_select_doubling.py and by
-    every detection-level test downstream.
+    candidate geometries (incl. multi-block sizes) in
+    tests/unit/test_select_doubling.py and by every detection-level test
+    downstream.
     """
     m = cand.shape[0]
-    x_i = ds_c + spec.frame_len - slack              # continue-threshold
-    ge = cand[None, :] >= x_i[:, None]               # [M, M]
-    has = jnp.any(ge, axis=1)
-    j_oh = ge & ~jnp.concatenate(                    # first-True one-hot
-        [jnp.zeros((m, 1), bool), ge[:, :-1]], axis=1)
-    # row i active iff i was KEPT (found & valid) and a successor exists;
-    # the successor must itself be a real (found) candidate or the chain
-    # ends there (sentinel rows have found=False)
-    row_ok = (found_c & valid_c & has)[:, None]
-    f_mat = (j_oh & row_ok & found_c[None, :]).astype(jnp.float32)
+    fl = spec.frame_len
+    kb = min(_SEL_KB, m)
+    mp = -(-m // kb) * kb
+    pad = mp - m
+    cand_p = jnp.pad(cand, (0, pad), constant_values=2**30)
+    xi_p = jnp.pad(ds_c + fl - slack, (0, pad), constant_values=2**30)
+    v_p = jnp.pad(valid_c, (0, pad))
+    f_p = jnp.pad(found_c, (0, pad))
+    blocks = (cand_p.reshape(-1, kb), xi_p.reshape(-1, kb),
+              v_p.reshape(-1, kb), f_p.reshape(-1, kb))
 
     mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    s = f_mat
-    p = f_mat
-    for _ in range(int(np.ceil(np.log2(max(m, 2))))):
-        s = s + mm(p, s)
-        p = mm(p, p)
-    u0 = ((jnp.arange(m) == 0) & found_c).astype(jnp.float32)   # chain start
-    reach = u0 + mm(u0[None, :], s)[0]               # start + orbit
-    return (reach > 0.5) & valid_c
+    rounds = int(np.ceil(np.log2(max(kb, 2))))
+    # strict-lower-triangular prefix-OR matrix (cumsum is unreliable on
+    # this backend — quirk log; one tiny exact matmul instead)
+    tri_strict = jnp.asarray(
+        np.triu(np.ones((kb, kb), np.float32), k=1))
+
+    def first_true(b):                               # [kb] bool -> one-hot
+        pre = mm(b.astype(jnp.float32)[None, :], tri_strict)[0] > 0.5
+        return b & ~pre
+
+    def block(carry, xs):
+        pos, dead = carry
+        c, xi, v, f = xs
+        ge = c[None, :] >= xi[:, None]               # [kb, kb]
+        has = jnp.any(ge, axis=1)
+        j_oh = ge & ~jnp.concatenate(
+            [jnp.zeros((kb, 1), bool), ge[:, :-1]], axis=1)
+        row_ok = (f & v & has)[:, None]
+        fm = (j_oh & row_ok & f[None, :]).astype(jnp.float32)
+        s = fm
+        p = fm
+        for _ in range(rounds):
+            s = s + mm(p, s)
+            p = mm(p, p)
+        # block entry: first eligible candidate under the carried state
+        u0 = first_true(f & (c >= pos - slack) & ~dead)
+        u0f = u0.astype(jnp.float32)
+        reach = (u0f + mm(u0f[None, :], s)[0]) > 0.5
+        keeps = reach & v & f
+        dead = dead | jnp.any(reach & f & ~v)        # eligible-but-invalid
+        # the chain is monotone, so the last keep's threshold is the max
+        pos = jnp.maximum(pos, jnp.max(
+            jnp.where(keeps, xi + slack, jnp.int32(-2**30))))
+        return (pos, dead), keeps
+
+    (_, _), keeps = jax.lax.scan(
+        block, (jnp.int32(0), jnp.zeros((), bool)), blocks)
+    return keeps.reshape(mp)[:m]
 
 
 def extract_frames(spec: WaveformSpec, capture: jax.Array,

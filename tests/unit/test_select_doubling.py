@@ -10,11 +10,13 @@ from ofdm_uhd_tpu.core.spec import config
 from ofdm_uhd_tpu.phy.sync import _select_scan, _select_doubling
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(24))
 def test_doubling_equals_scan_random(seed):
     spec = config("c3")
     rng = np.random.default_rng(seed)
-    m = int(rng.integers(4, 80))
+    # last seeds force MULTI-BLOCK sizes (> _SEL_KB=256) so the
+    # cross-block (pos, dead) carry is exercised
+    m = int(rng.integers(4, 80)) if seed < 18 else int(rng.integers(300, 700))
     nd = 200000
     # random ascending candidate positions with clusters (same-plateau
     # re-crossings), sentinel tail, random validity
