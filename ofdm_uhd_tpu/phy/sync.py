@@ -63,8 +63,6 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     m = sc_metric(p, rr)
     nd = m.shape[-1]
     span = spec.sym_len
-    # pad so dynamic_slice windows never clamp
-    m_pad = jnp.concatenate([m, jnp.zeros(span, m.dtype)])
 
     # threshold_mode 'cfar' (SURVEY.md §2.1 #16 low-SNR robustness): the
     # fixed 0.5 threshold misses preambles below ~0 dB, where the S&C
@@ -96,21 +94,13 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     cand = _first_k_indices(rise, max_cand, sentinel=nd)     # [max_cand]
     found_c = cand < nd
 
-    def localize(c):
-        w = jax.lax.dynamic_slice(m_pad, (c,), (span,))
-        peak_off = jnp.argmax(w).astype(jnp.int32)
-        peak_val = jnp.max(w)
-        ab = w >= rel * peak_val
-        lo = jnp.argmax(ab).astype(jnp.int32)
-        hi = span - 1 - jnp.argmax(ab[::-1]).astype(jnp.int32)
-        d = c + (lo + hi) // 2 - spec.cp // 2
-        d = jnp.maximum(d, 0)
-        pv = jax.lax.dynamic_slice(p, (jnp.minimum(c + peak_off, nd - 1),),
-                                   (1,))[0]
-        eps = jnp.angle(pv) / jnp.pi
-        return d, eps.astype(jnp.float32)
-
-    ds_c, eps_c = jax.vmap(localize)(cand)
+    # localization runs as a Pallas DMA kernel: the vmapped dynamic_slice
+    # form lowers to gathers whose windows cost ~15 ms/dispatch at the
+    # headline batch (probe24/27: 21.6 -> 9.7 ms net at batch 32). d is
+    # bit-identical; eps can differ only on sentinel/out-of-capture
+    # candidates (invalid, masked below). kernels/pallas_localize.py.
+    from ..kernels.pallas_localize import localize_pallas
+    ds_c, eps_c = localize_pallas(m, p, cand, span, spec.cp, rel=rel)
     valid_c = found_c & (ds_c + spec.frame_len <= n)
 
     # eligibility slack: the anchor d = plateau_mid - cp/2 can overshoot its
