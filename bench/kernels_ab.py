@@ -240,18 +240,22 @@ def main():
     x = (rng.normal(size=(n,)) + 1j * rng.normal(size=(n,))
          ).astype(np.complex64)
     arrs = [x * np.float32(1 + 1e-6 * i) for i in range(2)]
-    ab("fir-97t", lambda v: K2.fir_filter(v, taps, backend="xla"),
+    # row named from the REAL tap count (ADVICE r4: resample_filter(8,1)
+    # returns 193 taps, and the policy audit keys the fir winner on this)
+    ab(f"fir-{len(taps)}t", lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: K2.fir_filter(v, taps, backend="pallas"), arrs,
        check_atol=1e-3, work_samples=n, bytes_io=16 * n)
     # precision-HIGH variant of the MXU tier (3-pass bf16, 2x MXU rate;
     # EVM-grade accuracy — informational row, not a policy input)
     import jax as _j
     from ofdm_uhd_tpu.kernels.pallas_fir_mxu import fir_mxu_pallas
-    ab("fir-97t-mxu-hi", lambda v: K2.fir_filter(v, taps, backend="xla"),
+    ab(f"fir-{len(taps)}t-mxu-hi",
+       lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: fir_mxu_pallas(v, taps, precision=_j.lax.Precision.HIGH),
        arrs, check_atol=5e-3, work_samples=n, bytes_io=16 * n)
     from ofdm_uhd_tpu.kernels.pallas_shift import fir_shift_pallas
-    ab("fir-97t-shift", lambda v: K2.fir_filter(v, taps, backend="xla"),
+    ab(f"fir-{len(taps)}t-shift",
+       lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: fir_shift_pallas(v, taps),
        arrs, check_atol=1e-3, work_samples=n, bytes_io=16 * n)
     ab("decim-8x", lambda v: K2.polyphase_decim(v, 8, taps, backend="xla"),

@@ -136,6 +136,10 @@ def fir_mxu_pallas(x: jax.Array, taps, blk: int = 256, tr: int = 512,
     """'Same'-aligned FIR over complex [..., n]; twin of conv_backend.fir_same."""
     taps = np.asarray(taps, dtype=np.float32)
     nt = len(taps)
+    # _two_mats requires taps-1 <= blk*stride: scale the block up for long
+    # filters so 'auto'/'pallas' degrade gracefully instead of asserting
+    # (ADVICE r4; the MAC inflation 2*blk/W stays ~2x by construction)
+    blk = max(blk, _round_up(max(nt - 1, 1), 128))
     half = (nt - 1) // 2
     w = taps[::-1]
     pad_l = nt - 1 - half
@@ -155,6 +159,8 @@ def polyphase_decim_mxu_pallas(x: jax.Array, m: int, taps,
     conv_backend.polyphase_decim_xla: out[i] = 'same' FIR at stride m."""
     taps = np.asarray(taps, dtype=np.float32)
     nt = len(taps)
+    # halo rows must fit one radio-rate row: blk*m >= round_up(taps-1, 128)
+    blk = max(blk, _round_up(-(-_round_up(max(nt - 1, 1), 128) // m), 128))
     half = (nt - 1) // 2
     w = taps[::-1]
     pad_l = nt - 1 - half
@@ -184,6 +190,8 @@ def polyphase_interp_mxu_pallas(x: jax.Array, l: int, taps,
     g, d_min, d_max = _branch_matrix(
         tuple(np.asarray(taps, dtype=np.float64)), l)     # [L, D]
     nd = g.shape[1]
+    # halo rows (branch taps) must fit one input row: blk >= round_up(nd, 128)
+    blk = max(blk, _round_up(max(nd, 2), 128))
     n = x.shape[-1]
     planes, info = _split_complex(x)
     xp = jnp.pad(planes, ((0, 0), (d_max, 0)))

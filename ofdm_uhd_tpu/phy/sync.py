@@ -27,7 +27,8 @@ from . import tables as T
 def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
                   threshold: float = 0.5, rel: float = 0.9,
                   backend: str | None = None,
-                  threshold_mode: str = "fixed", cfar_k: float = 16.0):
+                  threshold_mode: str = "fixed", cfar_k: float = 16.0,
+                  with_sat: bool = False):
     """capture [n] -> (d [max_frames] i32, eps [max_frames] f32, valid [max_frames] bool).
 
     d = estimated first sample of each frame; eps = fractional CFO in
@@ -91,7 +92,8 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     # noise-induced re-crossings at plateau edges; data-region metric
     # ~O(1/L) almost never crosses a 0.5 threshold.
     max_cand = min(4 * max_frames + 16, nd)
-    cand = _first_k_indices(rise, max_cand, sentinel=nd)     # [max_cand]
+    cand, sat = _first_k_indices(rise, max_cand, sentinel=nd,
+                                 with_sat=True)              # [max_cand]
     found_c = cand < nd
 
     # localization runs as a Pallas DMA kernel: the vmapped dynamic_slice
@@ -124,7 +126,14 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     ds = jnp.sum(jnp.where(slot_oh, ds_c[None, :], 0), axis=1)
     epss = jnp.sum(jnp.where(slot_oh, eps_c[None, :], 0.0), axis=1)
     valids = jnp.any(slot_oh, axis=1)
-    return ds.astype(jnp.int32), epss.astype(jnp.float32), valids
+    out = (ds.astype(jnp.int32), epss.astype(jnp.float32), valids)
+    if with_sat:
+        # overflow indicator (ADVICE r4): TRUE when any 512-sample block
+        # held more rising edges than the hierarchical extractor's
+        # per-block capacity — i.e. a candidate MAY have been dropped
+        # (the direct-top_k equivalence argument no longer applies).
+        return out + (sat,)
+    return out
 
 
 _EXTRACT_BS = 512      # block size of the hierarchical index extraction
@@ -132,9 +141,12 @@ _EXTRACT_S = 8         # rising-edge capacity per block
 _SEL_KB = 256          # selection-doubling block (cost ~ M * KB^2 log KB)
 
 
-def _first_k_indices(rise: jax.Array, k: int, sentinel: int) -> jax.Array:
+def _first_k_indices(rise: jax.Array, k: int, sentinel: int,
+                     with_sat: bool = False):
     """First k TRUE indices of a sparse [n] bitmap, ascending; empty
-    slots = sentinel.
+    slots = sentinel. with_sat=True also returns a scalar bool flag:
+    TRUE iff any block exceeded the _EXTRACT_S per-block capacity
+    (i.e. the result may have dropped a true index).
 
     The direct form — top_k over the negated index vector — was the C3
     chain's single largest batched cost (~35 of 131 ms at batch 32,
@@ -170,7 +182,11 @@ def _first_k_indices(rise: jax.Array, k: int, sentinel: int) -> jax.Array:
     if flat.shape[0] < k:                      # tiny windows: pad slots
         flat = jnp.pad(flat, (0, k - flat.shape[0]),
                        constant_values=sentinel)
-    return -jax.lax.top_k(-flat, k)[0]
+    idx = -jax.lax.top_k(-flat, k)[0]
+    if with_sat:
+        # rank[:, -1] is each block's inclusive rise count (exact <= 512)
+        return idx, jnp.any(rank[:, -1] > cap)
+    return idx
 
 
 def _select_scan(spec: WaveformSpec, cand, ds_c, valid_c, found_c,

@@ -242,9 +242,9 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
         # conditioning — raw sc16-scale or heavily attenuated captures
         # land in a uniform power regime before thresholds/CSI
         capture, _ = PA.agc_normalize(capture)
-    ds, eps_f, valid = PS.detect_frames(spec, capture, max_frames,
-                                        threshold=threshold,
-                                        threshold_mode=threshold_mode)
+    ds, eps_f, valid, det_sat = PS.detect_frames(
+        spec, capture, max_frames, threshold=threshold,
+        threshold_mode=threshold_mode, with_sat=True)
     frames = PS.extract_frames(spec, capture, ds)
     # two full-frame ramps, NOT the r2 "fused CFO" window-derot form: on
     # this backend an elementwise multiply against a window SLICED from
@@ -263,4 +263,10 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
                         batch_hint=batch_hint)
     out.update({"d": ds, "eps": eps, "valid": valid,
                 "crc_ok": out["crc_ok"] & valid})
+    if diag:
+        # candidate-extraction overflow indicator (ADVICE r4): TRUE means
+        # a 512-sample block held more rising edges than the hierarchical
+        # extractor's capacity and a frame MAY have been missed — callers
+        # should not rely on the CRC gate alone to notice that.
+        out["det_sat"] = det_sat
     return out

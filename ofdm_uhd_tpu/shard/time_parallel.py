@@ -155,11 +155,16 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
                                         threshold_mode=thr_mode)
     owned = valid & (ds < cb)
     frames = PS.extract_frames(spec, ext, ds)
-    # fused CFO (see pipeline/rx.py): window-local derotation for the
-    # integer search + one composed full-frame ramp
-    k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
+    # two-ramp CFO order, matching pipeline/rx._rx_capture (ADVICE r4):
+    # elementwise consumers of windows SLICED from the frame gather lower
+    # pathologically on this backend (probe20-23), so derotate the full
+    # frames by eps_f first, search the clean sym-B window, then apply
+    # the integer ramp. ~1 ulp vs the composed single ramp; k decisions
+    # and all CRC/EVM gates unaffected.
+    frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
+    k = PS.integer_cfo(spec, frames)
     eps = eps_f + k.astype(jnp.float32)
-    frames = PS.cfo_correct(frames, eps, spec.n_sc)
+    frames = PS.cfo_correct(frames, k.astype(jnp.float32), spec.n_sc)
     shift = min(4, spec.cp // 4)
     if reshard:
         out = _reshard_demod(spec, frames, axis, t, shift)

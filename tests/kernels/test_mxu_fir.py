@@ -53,6 +53,30 @@ def test_interp_mxu_matches_xla(l, n):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_fir_mxu_long_taps_autoscale():
+    """Filters longer than the default block must scale blk up instead of
+    asserting (ADVICE r4: 'auto' routes every size>=64 fir to this tier)."""
+    from ofdm_uhd_tpu.kernels import fir as K2
+    t = np.hanning(385).astype(np.float32)
+    taps = t / t.sum()
+    x = _sig((2000,))
+    ref = np.asarray(CB.fir_same(x, taps))
+    got = np.asarray(PM.fir_mxu_pallas(x, taps))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # and through the dispatcher under backend='auto'
+    got_auto = np.asarray(K2.fir_filter(x, taps, backend="auto"))
+    np.testing.assert_allclose(got_auto, ref, atol=2e-5)
+
+
+def test_decim_mxu_long_taps_autoscale():
+    t = np.hanning(1200).astype(np.float32)
+    taps = t / t.sum()
+    x = _sig((9600,))
+    ref = np.asarray(CB.polyphase_decim_xla(x, 8, taps))
+    got = np.asarray(PM.polyphase_decim_mxu_pallas(x, 8, taps))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_fir_mxu_batched_high_precision():
     taps = np.asarray(resample_filter(8, 1))
     x = _sig((4, 20000))

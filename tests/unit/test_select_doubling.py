@@ -77,3 +77,31 @@ def test_first_k_indices_matches_topk(seed):
     ref = np.asarray(-jax.lax.top_k(-idx, k)[0])
     got = np.asarray(_first_k_indices(jnp.asarray(rise), k, sentinel=n))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_first_k_indices_saturation_flag():
+    """with_sat surfaces per-block capacity overflow (ADVICE r4): a dense
+    block trips the flag; a sparse bitmap does not."""
+    from ofdm_uhd_tpu.phy.sync import _EXTRACT_S, _first_k_indices
+    n = 4096
+    sparse = np.zeros(n, bool)
+    sparse[[100, 700, 1500, 3000]] = True
+    _, sat = _first_k_indices(jnp.asarray(sparse), 16, sentinel=n,
+                              with_sat=True)
+    assert not bool(sat)
+    dense = sparse.copy()
+    dense[200:200 + 2 * (_EXTRACT_S + 1):2] = True   # one overfull block
+    idx, sat = _first_k_indices(jnp.asarray(dense), 16, sentinel=n,
+                                with_sat=True)
+    assert bool(sat)
+    # and it propagates through detect_frames' optional 4-tuple
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    from bench_lib import build_capture
+    from ofdm_uhd_tpu.core.spec import config
+    from ofdm_uhd_tpu.phy.sync import detect_frames
+    spec = config("c1")
+    cap, _ = build_capture(spec, 2, gap=300)
+    out = detect_frames(spec, jnp.asarray(cap), 4, with_sat=True)
+    assert len(out) == 4 and not bool(out[3])
+    assert int(np.sum(np.asarray(out[2]))) == 2
