@@ -253,7 +253,7 @@ def main():
        lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: fir_mxu_pallas(v, taps, precision=_j.lax.Precision.HIGH),
        arrs, check_atol=5e-3, work_samples=n, bytes_io=16 * n)
-    from ofdm_uhd_tpu.kernels.pallas_shift import fir_shift_pallas
+    from ofdm_uhd_tpu.research.pallas_shift import fir_shift_pallas
     ab(f"fir-{len(taps)}t-shift",
        lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: fir_shift_pallas(v, taps),

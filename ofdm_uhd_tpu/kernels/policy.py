@@ -106,6 +106,11 @@ _PALLAS_WINS = {
     "fir": lambda size, n: size >= 64,
     "interp": lambda size, n: True,
     "viterbi": lambda size, n: viterbi_impl(size, n) == "fused",
+    # frame extraction: the Pallas DMA kernel (aligned over-read + on-chip
+    # residual shift) measured 3x the gather form AND de-pathologizes its
+    # consumers (r5_probe_extract: det+ext+CFO 32.9 -> 19.3 ms, through
+    # the front end 43.0 -> 26.9 ms at the C3 headline batch 32).
+    "extract": lambda size, n: True,
 }
 
 

@@ -59,7 +59,7 @@ def sc_correlate(r: jax.Array, l: int, backend: str = "xla"
     """r [..., n] complex -> (P [..., nd], R [..., nd]), nd = n - 2l + 1."""
     from .policy import choose
     if choose("sc_corr", l, backend) == "pallas":
-        from .pallas_shift import sc_correlate_shift_pallas
+        from ..research.pallas_shift import sc_correlate_shift_pallas
         return sc_correlate_shift_pallas(r, l)
     prod = jnp.conj(r[..., :-l]) * r[..., l:]        # s[n], length n-l
     p_re = _moving_sum(jnp.real(prod), l)            # [..., nd]

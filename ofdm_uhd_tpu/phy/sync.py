@@ -303,8 +303,18 @@ def _select_doubling(spec: WaveformSpec, cand, ds_c, valid_c, found_c,
 
 
 def extract_frames(spec: WaveformSpec, capture: jax.Array,
-                   ds: jax.Array) -> jax.Array:
-    """Gather [max_frames, frame_len] frames at offsets ds (vmapped slice)."""
+                   ds: jax.Array, backend: str = "xla") -> jax.Array:
+    """[max_frames, frame_len] frames at offsets ds.
+
+    backend routes between the vmapped-dynamic_slice gather ('xla') and
+    the Pallas DMA extraction ('pallas'/'auto' — kernels/pallas_extract):
+    bit-exact twins, but the gather's CONSUMERS lower pathologically on
+    this backend (probe20-23), so the DMA form wins 3x at the headline
+    batch and speeds every downstream stage (r5_probe_extract)."""
+    from ..kernels import policy
+    if policy.choose("extract", spec.frame_len, backend) == "pallas":
+        from ..kernels.pallas_extract import extract_frames_pallas
+        return extract_frames_pallas(capture, ds, spec.frame_len)
     pad = jnp.zeros(spec.frame_len, capture.dtype)
     cap = jnp.concatenate([capture, pad])
 

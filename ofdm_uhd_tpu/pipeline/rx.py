@@ -245,7 +245,8 @@ def _rx_capture(spec: WaveformSpec, threshold: float, diag: bool,
     ds, eps_f, valid, det_sat = PS.detect_frames(
         spec, capture, max_frames, threshold=threshold,
         threshold_mode=threshold_mode, with_sat=True)
-    frames = PS.extract_frames(spec, capture, ds)
+    frames = PS.extract_frames(spec, capture, ds,
+                               backend=spec.kernel_backend)
     # two full-frame ramps, NOT the r2 "fused CFO" window-derot form: on
     # this backend an elementwise multiply against a window SLICED from
     # the frame gather costs ~15 ms at the headline batch (probe20-23 —

@@ -56,7 +56,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv_backend import _branch_matrix, _split_complex, _merge_complex
+from ..kernels.conv_backend import _branch_matrix, _split_complex, _merge_complex
 
 
 def _interpret() -> bool:

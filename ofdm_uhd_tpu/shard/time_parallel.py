@@ -154,7 +154,8 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
                                         threshold=thr,
                                         threshold_mode=thr_mode)
     owned = valid & (ds < cb)
-    frames = PS.extract_frames(spec, ext, ds)
+    frames = PS.extract_frames(spec, ext, ds,
+                               backend=spec.kernel_backend)
     # two-ramp CFO order, matching pipeline/rx._rx_capture (ADVICE r4):
     # elementwise consumers of windows SLICED from the frame gather lower
     # pathologically on this backend (probe20-23), so derotate the full

@@ -9,7 +9,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 
-from ofdm_uhd_tpu.kernels.pallas_shift import fir_shift_pallas
+from ofdm_uhd_tpu.research.pallas_shift import fir_shift_pallas
 from ofdm_uhd_tpu.kernels import conv_backend as CB
 
 rng = np.random.default_rng(0)

@@ -70,3 +70,9 @@ def test_c3_capture_backend_equality():
     assert np.array_equal(np.asarray(op["payload"])[:3], p)
     np.testing.assert_allclose(np.asarray(ox["eps"])[:3],
                                np.asarray(op["eps"])[:3], atol=1e-3)
+    # 'auto' (mixed tiers incl. the r5 Pallas DMA extraction) must agree
+    # with both pure backends on the decoded bits
+    oa = RxPipeline(spec_x.with_(kernel_backend="auto")).rx_capture(
+        cap, max_frames=4)
+    assert np.array_equal(np.asarray(oa["valid"]), np.asarray(ox["valid"]))
+    assert np.array_equal(np.asarray(oa["payload"])[:3], p)

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from ofdm_uhd_tpu.core.spec import config
-from ofdm_uhd_tpu.kernels.pallas_deframe import extract_frames_dma
+from ofdm_uhd_tpu.research.pallas_deframe import extract_frames_dma
 from ofdm_uhd_tpu.phy.sync import extract_frames
 
 

@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from ofdm_uhd_tpu.kernels import conv_backend as CB
-from ofdm_uhd_tpu.kernels import pallas_shift as PS
+from ofdm_uhd_tpu.research import pallas_shift as PS
 from ofdm_uhd_tpu.kernels.sync import sc_correlate, sc_metric
 from ofdm_uhd_tpu.phy.tables import resample_filter
 
