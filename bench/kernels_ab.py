@@ -265,12 +265,36 @@ def main():
     ab("interp-8x", lambda v: K2.polyphase_interp(v, 8, taps, backend="xla"),
        lambda v: K2.polyphase_interp(v, 8, taps, backend="pallas"), xs_small,
        check_atol=1e-3, work_samples=n, bytes_io=9 * n)
+    # r5 INTERLEAVED tier (pallas_fir_ilv): filters the complex buffer in
+    # its native layout — no planar split/pad/merge passes (VERDICT r4
+    # item 3a). Rows compare vs the same XLA incumbents.
+    from ofdm_uhd_tpu.kernels import pallas_fir_ilv as FI
+    ab(f"fir-{len(taps)}t-ilv",
+       lambda v: K2.fir_filter(v, taps, backend="xla"),
+       lambda v: FI.fir_ilv_pallas(v, taps), arrs,
+       check_atol=1e-3, work_samples=n, bytes_io=16 * n)
+    ab("decim-8x-ilv",
+       lambda v: K2.polyphase_decim(v, 8, taps, backend="xla"),
+       lambda v: FI.polyphase_decim_ilv_pallas(v, 8, taps), arrs,
+       check_atol=1e-3, work_samples=n, bytes_io=9 * n)
+    ab("interp-8x-ilv",
+       lambda v: K2.polyphase_interp(v, 8, taps, backend="xla"),
+       lambda v: FI.polyphase_interp_ilv_pallas(v, 8, taps), xs_small,
+       check_atol=1e-3, work_samples=n, bytes_io=9 * n)
 
     # ---- S&C correlator ----
     from ofdm_uhd_tpu.kernels.sync import sc_correlate, sc_metric
     ab("sc-corr-128", lambda v: sc_metric(*sc_correlate(v, 128, "xla")),
        lambda v: sc_metric(*sc_correlate(v, 128, "pallas")), arrs,
        check_atol=1e-2, work_samples=n, bytes_io=12 * n)
+
+    # NOTE no isolated extract row here, deliberately: the isolated gather
+    # measures ~470 GB/s (it is fast out of context) while the Pallas DMA
+    # extraction's win is CONTEXTUAL — it de-pathologizes the gather's
+    # consumers inside the chain (probe20-23). The authoritative A/B is
+    # the chain-level scripts/r5_probe_extract.py ->
+    # bench/results/r5_probe_extract.jsonl (full-g vs full-p), which
+    # tests/kernels/test_policy_matches_bench.py audits directly.
 
     # ---- Viterbi at C3 flagship length (n=6912), batch SWEEP ----
     # The scan/fused crossover is the policy table's viterbi bound

@@ -82,6 +82,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from ofdm_uhd_tpu.core.spec import config
     from ofdm_uhd_tpu.core.boundary import device_put_planar, jit_planar
@@ -147,12 +148,14 @@ def main():
     stage("detect", jit_planar(det_raw), [(x,) for x in xs], raw=det_raw)
 
     def _extract(c):
-        # mirrors pipeline/rx._rx_capture: fused window-local derotation
-        # for the integer search + one composed full-frame ramp
+        # mirrors pipeline/rx._rx_capture: policy-routed extraction +
+        # two-ramp CFO order (r5)
         ds, eps_f, valid = PS.detect_frames(spec, c, mf)
-        frames = PS.extract_frames(spec, c, ds)
-        k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
-        return PS.cfo_correct(frames, eps_f + k, spec.n_sc)
+        frames = PS.extract_frames(spec, c, ds,
+                                   backend=spec.kernel_backend)
+        frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
+        k = PS.integer_cfo(spec, frames)
+        return PS.cfo_correct(frames, k.astype(jnp.float32), spec.n_sc)
     stage("det+ext", jit_planar(_extract), [(x,) for x in xs],
           raw=_extract)
 

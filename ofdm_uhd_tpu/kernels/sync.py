@@ -59,8 +59,10 @@ def sc_correlate(r: jax.Array, l: int, backend: str = "xla"
     """r [..., n] complex -> (P [..., nd], R [..., nd]), nd = n - 2l + 1."""
     from .policy import choose
     if choose("sc_corr", l, backend) == "pallas":
-        from ..research.pallas_shift import sc_correlate_shift_pallas
-        return sc_correlate_shift_pallas(r, l)
+        # r5: row-major MXU boxcar tier (the r4 shift tier that lost
+        # 0.46x is retired to research/pallas_shift)
+        from .pallas_sync import sc_correlate_mxu
+        return sc_correlate_mxu(r, l)
     prod = jnp.conj(r[..., :-l]) * r[..., l:]        # s[n], length n-l
     p_re = _moving_sum(jnp.real(prod), l)            # [..., nd]
     p_im = _moving_sum(jnp.imag(prod), l)

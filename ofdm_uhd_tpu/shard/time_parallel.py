@@ -39,6 +39,11 @@ from ..core.state import StreamState
 from ..phy import sync as PS
 from ..pipeline import rx as RXP
 
+# integer-CFO formulation in the shard step: 'two_ramp' (default, matches
+# pipeline/rx) or 'fused' (r4 window-derot form) — module-level so the
+# streaming A/B probe can flip it without a code fork
+CFO_ORDER = "two_ramp"
+
 
 def _slot_transpose(x, axis: str, t: int):
     """Tiled all_to_all over the leading (frame-slot) dim.
@@ -161,11 +166,18 @@ def _shard_step(spec: WaveformSpec, cb: int, h: int, max_frames: int,
     # pathologically on this backend (probe20-23), so derotate the full
     # frames by eps_f first, search the clean sym-B window, then apply
     # the integer ramp. ~1 ulp vs the composed single ramp; k decisions
-    # and all CRC/EVM gates unaffected.
-    frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
-    k = PS.integer_cfo(spec, frames)
-    eps = eps_f + k.astype(jnp.float32)
-    frames = PS.cfo_correct(frames, k.astype(jnp.float32), spec.n_sc)
+    # and all CRC/EVM gates unaffected. CFO_ORDER='fused' keeps the r4
+    # window-derot + one-composed-ramp form for on-chip A/B
+    # (scripts/r5 probes); both orders are tested equal downstream.
+    if CFO_ORDER == "two_ramp":
+        frames = PS.cfo_correct(frames, eps_f, spec.n_sc)
+        k = PS.integer_cfo(spec, frames)
+        eps = eps_f + k.astype(jnp.float32)
+        frames = PS.cfo_correct(frames, k.astype(jnp.float32), spec.n_sc)
+    else:
+        k = PS.integer_cfo(spec, frames, eps_pre=eps_f)
+        eps = eps_f + k.astype(jnp.float32)
+        frames = PS.cfo_correct(frames, eps, spec.n_sc)
     shift = min(4, spec.cp // 4)
     if reshard:
         out = _reshard_demod(spec, frames, axis, t, shift)

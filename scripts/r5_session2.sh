@@ -1,0 +1,13 @@
+#!/bin/bash
+cd /root/repo
+R=bench/results
+L=$R/r5_session2.log
+step() {
+  echo "=== $(date -u +%H:%M:%S) $*" >> $L
+  timeout 3000 "$@" >> $L 2>&1
+  echo "=== rc=$? $(date -u +%H:%M:%S)" >> $L
+}
+step python scripts/r5_cfo_ab.py fused
+step python scripts/r5_cfo_ab.py two_ramp
+step python bench/kernels_ab.py --jsonl $R/kab_r5net.jsonl
+echo "=== SESSION2 DONE" >> $L

@@ -151,6 +151,27 @@ def test_viterbi_impl_matches_newest_net_bench():
     assert checked >= 2, f"only {checked} auditable viterbi batches in {path}"
 
 
+def test_extract_policy_matches_chain_probe():
+    """The 'extract' policy entry is justified by the CHAIN-level A/B
+    (the isolated gather is fast; its win is de-pathologizing consumers
+    — see bench/kernels_ab.py note): audit it against the committed
+    r5_probe_extract jsonl's det+ext+CFO rows (full-g vs full-p)."""
+    paths = sorted(glob.glob(os.path.join(_RESULTS,
+                                          "r5_probe_extract*.jsonl")))
+    if not paths:
+        pytest.skip("no committed r5_probe_extract jsonl")
+    rows = [json.loads(ln) for ln in open(paths[-1]) if ln.strip()]
+    net = rows[-1]["net_ms"]
+    g, p = net.get("full-g"), net.get("full-p")
+    assert g is not None and p is not None
+    if abs(g / p - 1.0) <= _TIE_BAND:
+        pytest.skip("tie band")
+    want = "pallas" if g > p else "xla"
+    got = choose("extract", 4032, "auto")
+    assert got == want, (f"chain probe winner {want} (full-g {g} vs "
+                         f"full-p {p} ms) but policy chose {got}")
+
+
 def test_viterbi_regime_routing():
     """Deep-latency -> fused, middle -> windowed, headline -> scan;
     unknown batch falls back conservatively to the scan; explicit
