@@ -185,6 +185,12 @@ def main():
             row["pallas_net_speedup"] = round(
                 row["xla_net_ms"] / row["pallas_net_ms"], 2)
         results.append(row)
+        # INCREMENTAL jsonl write: a later row can crash the TPU worker
+        # outright (the r5 ilv net-loop fault took the whole process —
+        # r5_session2.log), and end-of-run logging would lose everything
+        # measured before it
+        if args.jsonl:
+            JsonlLogger(args.jsonl).log(row)
 
     # ---- FFT at every spec size, incl. the flagship 1024 ----
     from ofdm_uhd_tpu.kernels.fft import fft as kfft
@@ -253,6 +259,12 @@ def main():
        lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: fir_mxu_pallas(v, taps, precision=_j.lax.Precision.HIGH),
        arrs, check_atol=5e-3, work_samples=n, bytes_io=16 * n)
+    # bf16 (DEFAULT, 1-pass) variant — the spec.filter_precision='bf16'
+    # accuracy-gated tier (EVM-grade; ~4e-3 relative)
+    ab(f"fir-{len(taps)}t-mxu-bf16",
+       lambda v: K2.fir_filter(v, taps, backend="xla"),
+       lambda v: fir_mxu_pallas(v, taps, precision=_j.lax.Precision.DEFAULT),
+       arrs, check_atol=5e-2, work_samples=n, bytes_io=16 * n)
     from ofdm_uhd_tpu.research.pallas_shift import fir_shift_pallas
     ab(f"fir-{len(taps)}t-shift",
        lambda v: K2.fir_filter(v, taps, backend="xla"),
@@ -265,22 +277,10 @@ def main():
     ab("interp-8x", lambda v: K2.polyphase_interp(v, 8, taps, backend="xla"),
        lambda v: K2.polyphase_interp(v, 8, taps, backend="pallas"), xs_small,
        check_atol=1e-3, work_samples=n, bytes_io=9 * n)
-    # r5 INTERLEAVED tier (pallas_fir_ilv): filters the complex buffer in
-    # its native layout — no planar split/pad/merge passes (VERDICT r4
-    # item 3a). Rows compare vs the same XLA incumbents.
-    from ofdm_uhd_tpu.kernels import pallas_fir_ilv as FI
-    ab(f"fir-{len(taps)}t-ilv",
-       lambda v: K2.fir_filter(v, taps, backend="xla"),
-       lambda v: FI.fir_ilv_pallas(v, taps), arrs,
-       check_atol=1e-3, work_samples=n, bytes_io=16 * n)
-    ab("decim-8x-ilv",
-       lambda v: K2.polyphase_decim(v, 8, taps, backend="xla"),
-       lambda v: FI.polyphase_decim_ilv_pallas(v, 8, taps), arrs,
-       check_atol=1e-3, work_samples=n, bytes_io=9 * n)
-    ab("interp-8x-ilv",
-       lambda v: K2.polyphase_interp(v, 8, taps, backend="xla"),
-       lambda v: FI.polyphase_interp_ilv_pallas(v, 8, taps), xs_small,
-       check_atol=1e-3, work_samples=n, bytes_io=9 * n)
+    # (r5) the INTERLEAVED filter tier was measured here and LOST ~30x
+    # (no free complex bitcast on this backend: .view is a scatter,
+    # explicit interleave is a pathological minor-dim-2 relayout); it
+    # lives in research/pallas_fir_ilv.py with the probe numbers.
 
     # ---- S&C correlator ----
     from ofdm_uhd_tpu.kernels.sync import sc_correlate, sc_metric
@@ -341,10 +341,6 @@ def main():
                bytes_io=9 * bsz * nb, k_stack=2,
                r_lo=rspan[0], r_hi=rspan[1])
 
-    if args.jsonl:
-        lg = JsonlLogger(args.jsonl)
-        for r in results:
-            lg.log(r)
     import json
     print(json.dumps(results, indent=None))
 

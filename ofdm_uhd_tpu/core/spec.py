@@ -83,6 +83,12 @@ class WaveformSpec:
                                    # on sublanes, bit-packed decisions) |
                                    # 'mm' (one-hot-matmul fallback); static
                                    # spec field so changing it re-jits
+    filter_precision: str = "exact"  # MXU filter-tier accuracy gate:
+                                   # 'exact' (HIGHEST, f32-exact — default,
+                                   # required by bit-level gates) | 'high'
+                                   # (3-pass, ~1e-6 rel, 2x MXU rate) |
+                                   # 'bf16' (1-pass, ~4e-3 rel, fastest —
+                                   # EVM-grade callers only)
 
     def __post_init__(self):
         if self.modulation not in MOD_BITS:
@@ -93,6 +99,9 @@ class WaveformSpec:
             raise ValueError(f"unknown viterbi_mode {self.viterbi_mode!r}")
         if self.kernel_backend not in ("xla", "pallas", "auto"):
             raise ValueError(f"unknown kernel_backend {self.kernel_backend!r}")
+        if self.filter_precision not in ("exact", "high", "bf16"):
+            raise ValueError(
+                f"unknown filter_precision {self.filter_precision!r}")
         if self.viterbi_impl not in ("shuffle", "mm"):
             raise ValueError(f"unknown viterbi_impl {self.viterbi_impl!r}")
         if self.n_occupied == 0:

@@ -21,17 +21,36 @@ import numpy as np
 from . import conv_backend
 from .policy import choose
 
+# accuracy-gated MXU precision (VERDICT r4 item 3c): 'exact' = HIGHEST
+# (6-pass bf16, f32-exact products — the default; every bit-level
+# correctness gate assumes it); 'high' = 3-pass (~1e-6 relative, 2x MXU
+# rate); 'bf16' = DEFAULT 1-pass (~4e-3 relative, fastest — EVM-grade
+# callers only; r4 probe17 measured fir 140 / interp 188 GB/s). Callers
+# opt in via spec.filter_precision -> the precision kwarg below.
+_PRECISIONS = {
+    "exact": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
 
-def fir_filter(x: jax.Array, taps, backend: str = "xla") -> jax.Array:
+
+def _prec(name: str):
+    return _PRECISIONS[name or "exact"]
+
+
+def fir_filter(x: jax.Array, taps, backend: str = "xla",
+               precision: str = "exact") -> jax.Array:
     """'Same'-aligned real-taps FIR of complex signals, [..., n] -> [..., n]."""
     if choose("fir", len(taps), backend) == "pallas":
         from .pallas_fir_mxu import fir_mxu_pallas
-        return fir_mxu_pallas(x, np.asarray(taps, dtype=np.float32))
+        return fir_mxu_pallas(x, np.asarray(taps, dtype=np.float32),
+                              precision=_prec(precision))
     return conv_backend.fir_same(x, taps)
 
 
 def polyphase_interp(x: jax.Array, l: int, taps: np.ndarray,
-                     backend: str = "xla") -> jax.Array:
+                     backend: str = "xla",
+                     precision: str = "exact") -> jax.Array:
     """L-fold polyphase interpolation, [..., n] -> [..., n*l].
 
     taps: prototype low-pass (host numpy; gain-l compensation applied
@@ -39,17 +58,20 @@ def polyphase_interp(x: jax.Array, l: int, taps: np.ndarray,
     """
     if choose("interp", l, backend, n=x.size) == "pallas":
         from .pallas_fir_mxu import polyphase_interp_mxu_pallas
-        return polyphase_interp_mxu_pallas(x, l, np.asarray(taps))
+        return polyphase_interp_mxu_pallas(x, l, np.asarray(taps),
+                                           precision=_prec(precision))
     return conv_backend.polyphase_interp_xla(x, l, taps)
 
 
 def polyphase_decim(x: jax.Array, m: int, taps: np.ndarray,
-                    backend: str = "xla") -> jax.Array:
+                    backend: str = "xla",
+                    precision: str = "exact") -> jax.Array:
     """M-fold polyphase decimation, [..., n*m] -> [..., n].
 
     Twin of golden.resample.resample(x, 1, m).
     """
     if choose("decim", m, backend, n=x.size) == "pallas":
         from .pallas_fir_mxu import polyphase_decim_mxu_pallas
-        return polyphase_decim_mxu_pallas(x, m, np.asarray(taps))
+        return polyphase_decim_mxu_pallas(x, m, np.asarray(taps),
+                                          precision=_prec(precision))
     return conv_backend.polyphase_decim_xla(x, m, taps)

@@ -234,3 +234,41 @@ def polyphase_interp_mxu_pallas(x: jax.Array, l: int, taps,
     )(rows, rows, jnp.asarray(a), jnp.asarray(b))
     y = y[: bsz * r].reshape(bsz, r * ob)[:, : n * l]
     return _merge_complex(y, info, n * l)
+
+
+def _banded_rows_call(planes: jax.Array, a: np.ndarray, b: np.ndarray,
+                      tr: int, precision) -> jax.Array:
+    """planes [B, n_in] f32 -> [B, n_out_padded]: rows of ib = a.shape[0]
+    inputs produce ob = a.shape[1] outputs each via y = rows @ A +
+    roll_up(rows)[:, :hp] @ B (pallas_fir_mxu._mxu_kernel)."""
+    ib, ob = a.shape
+    hp = b.shape[0]
+    assert hp <= ib, "halo wider than a row"
+    # bound the input block to ~1 MB: tr=512 x ib=2048 f32 (4 MB) crashes
+    # the axon compile helper (HTTP 500 — the deterministic VMEM wall,
+    # quirk log); decimation's radio-rate rows are the wide case
+    max_tr = max(128, ((1 << 20) // (4 * ib)) // 128 * 128)
+    tr = min(tr, max_tr)
+    bsz, n_in = planes.shape
+    r = -(-(n_in + hp) // ib)
+    xp = jnp.pad(planes.astype(jnp.float32), ((0, 0), (0, r * ib - n_in)))
+    rows = xp.reshape(bsz * r, ib)
+    rt = _round_up(bsz * r, tr)
+    rows = jnp.pad(rows, ((0, rt - bsz * r + 8), (0, 0)))
+    vmem = pltpu.VMEM
+    y = pl.pallas_call(
+        functools.partial(_mxu_kernel, precision, hp),
+        grid=(rt // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, ib), lambda i: (i, 0), memory_space=vmem),
+            pl.BlockSpec((8, ib), lambda i: (i * (tr // 8) + tr // 8, 0),
+                         memory_space=vmem),
+            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=vmem),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((tr, ob), lambda i: (i, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((rt, ob), jnp.float32),
+        interpret=_interpret(),
+    )(rows, rows, jnp.asarray(a), jnp.asarray(b))
+    return y[: bsz * r].reshape(bsz, r * ob)

@@ -69,7 +69,7 @@ def sc_correlate_mxu(r: jax.Array, l: int, tr: int = 512,
     planes read and the 12 B/sample sums write stays in VMEM.
     """
     from .pallas_fir_mxu import _round_up, _two_mats
-    from .pallas_fir_ilv import _banded_rows_call
+    from .pallas_fir_mxu import _banded_rows_call
     n = r.shape[-1]
     nd = n - 2 * l + 1
     lead = r.shape[:-1]

@@ -90,9 +90,11 @@ def _to_baseband(spec: WaveformSpec, x: jax.Array) -> jax.Array:
     taps = T.resample_filter(l, m)
     y = x
     if m > 1:  # TX decimated by m -> RX interpolates by m
-        y = K2.polyphase_interp(y, m, taps, backend=spec.kernel_backend)
+        y = K2.polyphase_interp(y, m, taps, backend=spec.kernel_backend,
+                                precision=spec.filter_precision)
     if l > 1:  # TX interpolated by l -> RX decimates by l
-        y = K2.polyphase_decim(y, l, taps, backend=spec.kernel_backend)
+        y = K2.polyphase_decim(y, l, taps, backend=spec.kernel_backend,
+                               precision=spec.filter_precision)
     return y
 
 

@@ -59,8 +59,10 @@ def _tx_step(spec: WaveformSpec, payloads: jax.Array) -> jax.Array:
         taps = T.resample_filter(l, m)
         if l > 1:
             frames = K2.polyphase_interp(frames, l, taps,
-                                         backend=spec.kernel_backend)
+                                         backend=spec.kernel_backend,
+                                         precision=spec.filter_precision)
         if m > 1:
             frames = K2.polyphase_decim(frames, m, taps,
-                                        backend=spec.kernel_backend)
+                                        backend=spec.kernel_backend,
+                                        precision=spec.filter_precision)
     return frames

@@ -1,28 +1,23 @@
-"""K2 v4: INTERLEAVED row-major MXU banded FIR/polyphase (VERDICT r4
-item 3a — fuse the planar passes into the kernel).
+"""K2 v4: INTERLEAVED row-major MXU banded FIR/polyphase — MEASURED
+DEAD END (r5); the production filter tier stays pallas_fir_mxu.
 
-The r4 `pallas_fir_mxu` tier wins its A/B but pays ~3 un-fused HBM round
-trips beyond the kernel's own bytes: complex->planes split, pad/reshape,
-planes->complex merge (the builder's own roofline accounting,
-PERFORMANCE.md). This tier removes ALL of them by filtering the complex
-buffer IN ITS NATIVE MEMORY LAYOUT: complex64 is interleaved (re, im)
-f32 pairs, so `bitcast` to f32 doubles the length for free, and a real
-FIR commutes with interleaving when its taps are DILATED by 2:
+The idea: filter the complex buffer in its NATIVE interleaved (re, im)
+layout with taps DILATED by 2 (y_int[j] = sum_t w[t] z[j + 2t]), so the
+planar split/pad/merge passes disappear and MAC inflation improves to
+~2.0x (vs the planar tier's 2.7x). Correct to 7e-7 vs conv_backend
+(tests), but it LOSES ~30x on-chip (r5 session: fir-ilv 4.23 ms net vs
+planar 0.125 at 1M samples) because this backend has no free complex
+bitcast:
 
-    y_int[j] = sum_t w[t] * z[j + 2t]     (both parities at once)
+  * `.view(f32)` lowers as a SCATTER (inspected HLO) — ~0.5 GB/s;
+  * explicit interleave (stack real/imag on a minor dim of 2 +
+    reshape) is a minor-dim-2 transpose, which the TPU relayouts
+    pathologically — isolated probes put the kernel itself at 0.140 ms
+    (planar parity) and the whole cost in the interleave producer.
 
-i.e. a 'same' FIR with tap vector w2 (w2[2t] = w[t], zeros between) —
-exactly the row-major banded two-matmul of pallas_fir_mxu with a wider
-band. MAC inflation actually IMPROVES: 2*blk/W with blk ~ W means ~2.0x
-(the planar form ran 2*256/193 ~ 2.7x). Decimation and interpolation get
-the same treatment with parity-aware band matrices (derivations in the
-builders). Bitcasts are free (metadata); the kernel's HBM traffic is the
-true minimum: read 8n bytes, write 8n_out bytes.
-
-Numerics: same HIGHEST-precision (6-pass bf16, f32-exact products)
-matmuls; accumulation order differs from the planar tier only in where
-the structural zeros sit, so results match conv_backend to the same
-2e-5-class tolerance the planar tier is tested at.
+Kept as the measured A/B record (research/ convention). If a future
+runtime gives complex64 a true bitcast view, this tier becomes the
+planar tier minus three HBM passes.
 """
 
 from __future__ import annotations
@@ -35,17 +30,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fir_mxu import _mxu_kernel, _round_up, _two_mats, _interpret
+from ..kernels.pallas_fir_mxu import (_banded_rows_call, _round_up,  # noqa: F401
+                             _two_mats)
 
 
 def bitcast_ilv(x: jax.Array) -> jax.Array:
-    """complex64 [..., n] -> f32 [..., 2n] interleaved (bitcast view)."""
-    return jnp.asarray(x).view(jnp.float32)
+    """complex64 [..., n] -> f32 [..., 2n] interleaved.
+
+    NOT `.view(f32)`: jnp lowers that view as a SCATTER (inspected HLO),
+    which runs ~0.5 GB/s on this backend — the r5 first-cut ilv tier's
+    300x pathology. Minor-dim stack + reshape is a plain relayout."""
+    f = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)     # [..., n, 2]
+    return f.reshape(*x.shape[:-1], 2 * x.shape[-1])
 
 
 def bitcast_cplx(y: jax.Array) -> jax.Array:
     """f32 [..., 2n] interleaved -> complex64 [..., n]."""
-    return jnp.asarray(y).view(jnp.complex64)
+    f = y.reshape(*y.shape[:-1], y.shape[-1] // 2, 2)
+    return jax.lax.complex(f[..., 0], f[..., 1])
 
 
 def _flatten(x):
@@ -56,39 +58,6 @@ def _flatten(x):
 
 def _unflatten(y, info):
     return y[0] if info[0] == "1d" else y.reshape(*info[1], y.shape[-1])
-
-
-def _banded_rows_call(planes: jax.Array, a: np.ndarray, b: np.ndarray,
-                      tr: int, precision) -> jax.Array:
-    """planes [B, n_in] f32 -> [B, n_out_padded]: rows of ib = a.shape[0]
-    inputs produce ob = a.shape[1] outputs each via y = rows @ A +
-    roll_up(rows)[:, :hp] @ B (pallas_fir_mxu._mxu_kernel)."""
-    ib, ob = a.shape
-    hp = b.shape[0]
-    assert hp <= ib, "halo wider than a row"
-    bsz, n_in = planes.shape
-    r = -(-(n_in + hp) // ib)
-    xp = jnp.pad(planes.astype(jnp.float32), ((0, 0), (0, r * ib - n_in)))
-    rows = xp.reshape(bsz * r, ib)
-    rt = _round_up(bsz * r, tr)
-    rows = jnp.pad(rows, ((0, rt - bsz * r + 8), (0, 0)))
-    vmem = pltpu.VMEM
-    y = pl.pallas_call(
-        functools.partial(_mxu_kernel, precision, hp),
-        grid=(rt // tr,),
-        in_specs=[
-            pl.BlockSpec((tr, ib), lambda i: (i, 0), memory_space=vmem),
-            pl.BlockSpec((8, ib), lambda i: (i * (tr // 8) + tr // 8, 0),
-                         memory_space=vmem),
-            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=vmem),
-            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=vmem),
-        ],
-        out_specs=pl.BlockSpec((tr, ob), lambda i: (i, 0),
-                               memory_space=vmem),
-        out_shape=jax.ShapeDtypeStruct((rt, ob), jnp.float32),
-        interpret=_interpret(),
-    )(rows, rows, jnp.asarray(a), jnp.asarray(b))
-    return y[: bsz * r].reshape(bsz, r * ob)
 
 
 def fir_ilv_pallas(x: jax.Array, taps, blk: int | None = None,
@@ -161,7 +130,7 @@ def polyphase_decim_ilv_pallas(x: jax.Array, m: int, taps,
 def _interp_mats_ilv(taps_key: tuple, blk: int, l: int):
     """Rows of ib=blk interleaved inputs -> ob=blk*l interleaved outputs:
     out_int[e] = sum_t grev[(e//2) % l][t] zp[2*((e//2)//l) + (e%2) + 2t]."""
-    from .conv_backend import _branch_matrix
+    from ..kernels.conv_backend import _branch_matrix
     g, d_min, d_max = _branch_matrix(taps_key, l)
     nd = g.shape[1]
     grev = np.ascontiguousarray(g[:, ::-1]).astype(np.float32)

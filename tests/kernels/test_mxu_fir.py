@@ -77,6 +77,29 @@ def test_decim_mxu_long_taps_autoscale():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_filter_precision_gate_chain():
+    """spec.filter_precision routes the MXU tier's precision: 'exact' is
+    bit-level vs conv_backend; 'high'/'bf16' stay EVM-grade through the
+    resampled C4 chain (CRC still passes, EVM within 0.5 dB)."""
+    import numpy as np
+    from ofdm_uhd_tpu.core.spec import config
+    from ofdm_uhd_tpu.pipeline import TxPipeline, RxPipeline
+    spec = config("c4").with_(n_data_syms=4, kernel_backend="pallas")
+    r = np.random.default_rng(8)
+    p = r.integers(0, 2, (2, spec.payload_bits_per_frame)).astype(np.uint8)
+    fx = np.asarray(TxPipeline(spec)(p))
+    base = RxPipeline(spec).rx_aligned(fx)
+    evm0 = float(np.mean(np.asarray(base["evm_db"])))
+    for prec in ("high", "bf16"):
+        sp = spec.with_(filter_precision=prec)
+        out = RxPipeline(sp).rx_aligned(np.asarray(TxPipeline(sp)(p)))
+        assert np.asarray(out["crc_ok"]).all(), prec
+        assert np.array_equal(np.asarray(out["payload"]), p), prec
+        evm = float(np.mean(np.asarray(out["evm_db"])))
+        assert evm < -25.0, (prec, evm)   # still EVM-grade
+    assert evm0 < -30.0
+
+
 def test_fir_mxu_batched_high_precision():
     taps = np.asarray(resample_filter(8, 1))
     x = _sig((4, 20000))
