@@ -251,14 +251,10 @@ def main():
     ab(f"fir-{len(taps)}t", lambda v: K2.fir_filter(v, taps, backend="xla"),
        lambda v: K2.fir_filter(v, taps, backend="pallas"), arrs,
        check_atol=1e-3, work_samples=n, bytes_io=16 * n)
-    # precision-HIGH variant of the MXU tier (3-pass bf16, 2x MXU rate;
-    # EVM-grade accuracy — informational row, not a policy input)
-    import jax as _j
+    # (no HIGH-precision row: Mosaic rejects Precision.HIGH in-kernel
+    # — 'Unsupported dot precision', r4 + r5 on-chip)
+    import jax as _j  # noqa: F401  (used by the bf16 row below)
     from ofdm_uhd_tpu.kernels.pallas_fir_mxu import fir_mxu_pallas
-    ab(f"fir-{len(taps)}t-mxu-hi",
-       lambda v: K2.fir_filter(v, taps, backend="xla"),
-       lambda v: fir_mxu_pallas(v, taps, precision=_j.lax.Precision.HIGH),
-       arrs, check_atol=5e-3, work_samples=n, bytes_io=16 * n)
     # bf16 (DEFAULT, 1-pass) variant — the spec.filter_precision='bf16'
     # accuracy-gated tier (EVM-grade; ~4e-3 relative)
     ab(f"fir-{len(taps)}t-mxu-bf16",

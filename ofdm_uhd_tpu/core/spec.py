@@ -85,10 +85,10 @@ class WaveformSpec:
                                    # spec field so changing it re-jits
     filter_precision: str = "exact"  # MXU filter-tier accuracy gate:
                                    # 'exact' (HIGHEST, f32-exact — default,
-                                   # required by bit-level gates) | 'high'
-                                   # (3-pass, ~1e-6 rel, 2x MXU rate) |
-                                   # 'bf16' (1-pass, ~4e-3 rel, fastest —
-                                   # EVM-grade callers only)
+                                   # required by bit-level gates) | 'bf16'
+                                   # (1-pass, ~4e-3 rel, ~1.5x faster —
+                                   # EVM-grade callers only; Mosaic has no
+                                   # HIGH tier in-kernel)
 
     def __post_init__(self):
         if self.modulation not in MOD_BITS:
@@ -99,7 +99,7 @@ class WaveformSpec:
             raise ValueError(f"unknown viterbi_mode {self.viterbi_mode!r}")
         if self.kernel_backend not in ("xla", "pallas", "auto"):
             raise ValueError(f"unknown kernel_backend {self.kernel_backend!r}")
-        if self.filter_precision not in ("exact", "high", "bf16"):
+        if self.filter_precision not in ("exact", "bf16"):
             raise ValueError(
                 f"unknown filter_precision {self.filter_precision!r}")
         if self.viterbi_impl not in ("shuffle", "mm"):

@@ -23,13 +23,12 @@ from .policy import choose
 
 # accuracy-gated MXU precision (VERDICT r4 item 3c): 'exact' = HIGHEST
 # (6-pass bf16, f32-exact products — the default; every bit-level
-# correctness gate assumes it); 'high' = 3-pass (~1e-6 relative, 2x MXU
-# rate); 'bf16' = DEFAULT 1-pass (~4e-3 relative, fastest — EVM-grade
-# callers only; r4 probe17 measured fir 140 / interp 188 GB/s). Callers
-# opt in via spec.filter_precision -> the precision kwarg below.
+# correctness gate assumes it); 'bf16' = DEFAULT 1-pass (~4e-3 relative,
+# EVM-grade callers only; kab_r5net: fir 145 vs 95.6 GB/s). There is NO
+# 'high' tier: Mosaic rejects Precision.HIGH inside kernels
+# ("Unsupported dot precision", r4 + re-confirmed r5 on-chip).
 _PRECISIONS = {
     "exact": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
     "bf16": jax.lax.Precision.DEFAULT,
 }
 

@@ -28,7 +28,7 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
                   threshold: float = 0.5, rel: float = 0.9,
                   backend: str | None = None,
                   threshold_mode: str = "fixed", cfar_k: float = 16.0,
-                  with_sat: bool = False):
+                  with_sat: bool = False, front: str | None = None):
     """capture [n] -> (d [max_frames] i32, eps [max_frames] f32, valid [max_frames] bool).
 
     d = estimated first sample of each frame; eps = fractional CFO in
@@ -60,8 +60,19 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     """
     l = spec.n_sc // 2
     n = capture.shape[-1]
-    p, rr = sc_correlate(capture, l, backend=backend or spec.kernel_backend)
-    m = sc_metric(p, rr)
+    # dense front end: 'fused' = single-pass Pallas correlate+metric
+    # (pallas_scfront; needs whole-row lag l % 128 == 0), 'xla' = the
+    # correlate/metric compose. Default routes via the kernel policy.
+    from ..kernels import policy as _policy
+    be = backend or spec.kernel_backend
+    fr = front or ("fused" if (l % 128 == 0 and _policy.choose(
+        "sc_front", l, be) == "pallas") else "xla")
+    if fr == "fused" and l % 128 == 0:
+        from ..kernels.pallas_scfront import sc_frontend_pallas
+        p, m = sc_frontend_pallas(capture, l)
+    else:
+        p, rr = sc_correlate(capture, l, backend=be)
+        m = sc_metric(p, rr)
     nd = m.shape[-1]
     span = spec.sym_len
 
