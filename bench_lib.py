@@ -86,10 +86,15 @@ def net_time(fn, stacked, iters: int = 4, r_lo: int = 64, r_hi: int = 2048,
             out = fn(xi)
             leaves = [x for x in jax.tree_util.tree_leaves(out)
                       if hasattr(x, "size") and x.size]
-            leaves.sort(key=lambda a: a.size)
-            r = leaves[0]
-            r = jnp.real(r) if jnp.iscomplexobj(r) else r
-            return c + jnp.sum(r.ravel()[:128].astype(jnp.float32))
+            # reduce a few elements of EVERY leaf: keeping only the
+            # smallest alive lets XLA dead-code-eliminate the rest of
+            # the graph (found r5: a scalar diagnostic leaf made the
+            # full-chain "net" measure just the detection subgraph)
+            acc = c
+            for r in leaves:
+                r = jnp.real(r) if jnp.iscomplexobj(r) else r
+                acc = acc + jnp.sum(r.ravel()[:16].astype(jnp.float32))
+            return acc
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
     jl = jit_planar(loop)
