@@ -187,8 +187,13 @@ def main():
     if args.batch > 1:
         caps = np.stack([cap] * args.batch)
         bxs = variants(caps)
-        braw = jax.vmap(functools.partial(RXP._rx_capture, spec, 0.5,
-                                          True, max_frames=mf))
+        # the PIPELINE's own batched path (capture.ndim == 2), NOT an
+        # external jax.vmap: _rx_capture's internal vmap sets the
+        # batch_hint that routes the decoder for the TOTAL batch — an
+        # outer vmap hides it and auto mis-routes the per-capture
+        # windowed decoder (116 vs 86 ms at batch 32, r5 session 7)
+        braw = functools.partial(RXP._rx_capture, spec, 0.5, True,
+                                 max_frames=mf)
         stage(f"full-x{args.batch}", jit_planar(braw), [(b,) for b in bxs],
               scale=args.batch, raw=braw)
         # batched per-stage attribution: the chain amortizes differently

@@ -22,8 +22,13 @@ def _tx_frames(spec, payloads: np.ndarray) -> np.ndarray:
     from ofdm_uhd_tpu.core import platform
     from ofdm_uhd_tpu.pipeline import TxPipeline
 
+    # pin the TX's kernel routing to 'xla' too: under jax.default_device
+    # (cpu) the global default_backend still reports the TPU, so 'auto'
+    # would pick compiled-Pallas kernels for a CPU device ("Only
+    # interpret mode is supported on CPU backend", r5 session 7)
+    spec = spec.with_(kernel_backend="xla")
     cpu = jax.devices("cpu")[0]
-    key = id(spec)
+    key = spec           # frozen dataclass: hashable, survives the with_
     with jax.default_device(cpu):
         tx = _TX_CACHE.setdefault(key, TxPipeline(spec))
         return np.asarray(platform.fetch(tx(payloads)))
