@@ -151,12 +151,14 @@ def main():
     import jax
 
     spec = config("c3")
-    # 32 captures x ~554k samples (17.7M) per dispatch: the tunnel's
-    # fixed dispatch floor fluctuates between ~4 and ~22 ms per executable
-    # call (measured both), so the chain is batched until dispatch is
-    # noise; sync/demod/Viterbi all amortize across captures (VERDICT r1
-    # item 1b)
-    n_caps, n_frames, gap = 32, 128, 300
+    # 8 captures x ~4.4M samples (35M) per dispatch — the r5-measured
+    # batch-geometry optimum: per-capture costs (detection slot search,
+    # candidate top_k, localization) amortize with LONGER captures, so at
+    # fixed total frames the sweep reads 64x128: 238, 32x256: 270,
+    # 16x512: 284, 8x1024: 298.8, 4x2048: 205 (collapses — the selection
+    # window outgrows its block budget) Msps (r5.jsonl). Same chain, same
+    # gates: every frame across all captures must decode bit-exact.
+    n_caps, n_frames, gap = 8, 1024, 300
     caps, payloads = _build_captures(spec, n_caps, n_frames, gap)
     device = "unknown"
     try:

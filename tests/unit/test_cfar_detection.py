@@ -77,6 +77,22 @@ def test_cfar_matches_fixed_on_clean_capture():
         np.asarray(cfar["payload"])[np.asarray(cfar["valid"])], payloads)
 
 
+def test_cfar_with_fused_front_end():
+    """threshold_mode='cfar' composes with the fused Pallas front end
+    (the CFAR median runs on whatever metric the front produced)."""
+    from ofdm_uhd_tpu.phy.sync import detect_frames
+    import jax.numpy as jnp
+    spec = config("c3")
+    cap, _ = _capture(spec, 4, 25.0, seed=6)
+    a = detect_frames(spec, jnp.asarray(cap), 6, threshold_mode="cfar",
+                      front="xla")
+    b = detect_frames(spec, jnp.asarray(cap), 6, threshold_mode="cfar",
+                      front="fused")
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert int(np.asarray(a[2]).sum()) == 4
+
+
 def test_cfar_streaming_plumbing():
     """StreamRx(threshold_mode='cfar') reaches the shard detector (the
     (threshold, mode) tuple path) and decodes a clean stream identically
