@@ -130,14 +130,17 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
     keeps = _select_doubling(spec, cand, ds_c, valid_c, found_c, slack)
 
     # compact kept candidates into the max_frames output slots in order:
-    # slot j <- the j-th kept candidate (gather-free one-hot mask sums)
-    rank = jnp.cumsum(keeps.astype(jnp.int32)) - 1           # [max_cand]
-    slot_oh = (rank[None, :] == jnp.arange(max_frames, dtype=jnp.int32)
-               [:, None]) & keeps[None, :]                   # [mf, max_cand]
-    ds = jnp.sum(jnp.where(slot_oh, ds_c[None, :], 0), axis=1)
-    epss = jnp.sum(jnp.where(slot_oh, eps_c[None, :], 0.0), axis=1)
-    valids = jnp.any(slot_oh, axis=1)
-    out = (ds.astype(jnp.int32), epss.astype(jnp.float32), valids)
+    # slot j <- the j-th kept candidate. BLOCK-CHUNKED (r5): the direct
+    # one-hot slot matrix is O(max_frames * max_cand) = O(mf^2); this
+    # form scans the candidates in _SEL_KB blocks, compacting each with
+    # a small [KB, KB] one-hot and writing it at the carried output
+    # offset (scan steps are sequential, so a block's zero tail is
+    # overwritten by the next block's keeps). Bit-identical outputs;
+    # integer sums (not f32 matmul) so ds stays exact past 2^24 samples.
+    # Measured chain-neutral at mf<=2050 (the 4x2048 geometry's slowdown
+    # is NOT here — r5_session11); kept for the asymptotics.
+    ds, epss, valids = _compact_blocks(ds_c, eps_c, keeps, max_frames)
+    out = (ds, epss, valids)
     if with_sat:
         # overflow indicator (ADVICE r4): TRUE when any 512-sample block
         # held more rising edges than the hierarchical extractor's
@@ -150,6 +153,49 @@ def detect_frames(spec: WaveformSpec, capture: jax.Array, max_frames: int,
 _EXTRACT_BS = 512      # block size of the hierarchical index extraction
 _EXTRACT_S = 8         # rising-edge capacity per block
 _SEL_KB = 256          # selection-doubling block (cost ~ M * KB^2 log KB)
+
+
+def _compact_blocks(ds_c: jax.Array, eps_c: jax.Array, keeps: jax.Array,
+                    max_frames: int):
+    """Order-preserving compaction of kept candidates into max_frames
+    slots, O(M * KB^2): see the call site in detect_frames."""
+    m = keeps.shape[0]
+    kb = min(_SEL_KB, m)
+    mp = -(-m // kb) * kb
+    pad = mp - m
+    ds_b = jnp.pad(ds_c.astype(jnp.int32), (0, pad)).reshape(-1, kb)
+    eps_b = jnp.pad(eps_c.astype(jnp.float32), (0, pad)).reshape(-1, kb)
+    k_b = jnp.pad(keeps, (0, pad)).reshape(-1, kb)
+    # inclusive in-block rank by one exact triangular matmul (counts
+    # <= KB; cumsum is unreliable on this backend — quirk log)
+    tri = jnp.asarray(np.tril(np.ones((kb, kb), np.float32)).T)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    iot = jnp.arange(kb, dtype=jnp.int32)
+    nout = max_frames + kb
+
+    def comp(carry, xs):
+        off, dsa, epsa, vala = carry
+        dsb, epsb, kbk = xs
+        rank = mm(kbk.astype(jnp.float32)[None, :], tri)[0].astype(
+            jnp.int32)                                       # [kb]
+        loc_oh = kbk[None, :] & (rank[None, :] - 1 == iot[:, None])
+        cds = jnp.sum(jnp.where(loc_oh, dsb[None, :], 0), axis=1)
+        ceps = jnp.sum(jnp.where(loc_oh, epsb[None, :], 0.0), axis=1)
+        cval = jnp.any(loc_oh, axis=1)
+        offc = jnp.minimum(off, jnp.int32(max_frames))
+        dsa = jax.lax.dynamic_update_slice(dsa, cds, (offc,))
+        epsa = jax.lax.dynamic_update_slice(epsa, ceps, (offc,))
+        vala = jax.lax.dynamic_update_slice(vala, cval, (offc,))
+        return (off + jnp.sum(kbk.astype(jnp.int32)), dsa, epsa,
+                vala), None
+
+    init = (jnp.int32(0),
+            jnp.zeros(nout, jnp.int32),
+            jnp.zeros(nout, jnp.float32),
+            jnp.zeros(nout, bool))
+    (_, dsa, epsa, vala), _ = jax.lax.scan(comp, init,
+                                           (ds_b, eps_b, k_b))
+    return dsa[:max_frames], epsa[:max_frames], vala[:max_frames]
 
 
 def _first_k_indices(rise: jax.Array, k: int, sentinel: int,
